@@ -1,0 +1,163 @@
+"""Functional attention building blocks.
+
+The reference implements its method by monkey-patching ``attn1.forward`` on
+selected decoder blocks (video_diffusion_sd/pnp_utils.py:104-111) and mutating
+``module.idx`` every step (pnp_utils.py:7-15). Here the same math is a set of
+pure functions over (q, k, v) taking the step index and a
+:class:`~univst_tpu.core.config.StyleShiftConfig` as explicit arguments —
+trace-safe, jit-able, and shape-static so the whole 50-step denoise loop
+compiles to a single ``lax.scan``.
+
+Layouts:
+  * pre-head tensors: ``[B, L, D]`` with ``B = branches * frames``
+  * per-head tensors: ``[B, heads, N, Dh]`` (SD3)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univst_tpu.core.adain import attention_adain, attention_adain_sd3
+from univst_tpu.core.config import FrameIndex, StyleShiftConfig
+
+
+def resolve_frame_indices(
+    indices: Sequence[FrameIndex], num_frames: int
+) -> Tuple[np.ndarray, ...]:
+    """Static per-entry frame gather maps, each shape [num_frames].
+
+    Reproduces the reference index semantics
+    (video_diffusion_sd/models/attention.py:388-410): strings 'first'/'last'/
+    'mid' broadcast one frame to all; ints are relative offsets clipped to
+    [0, F-1].
+    """
+    out = []
+    for index in indices:
+        if isinstance(index, str):
+            if index == "first":
+                fi = np.zeros(num_frames, np.int32)
+            elif index == "last":
+                fi = np.full(num_frames, num_frames - 1, np.int32)
+            elif index in ("mid", "middle"):
+                fi = np.full(num_frames, (num_frames - 1) // 2, np.int32)
+            else:
+                raise ValueError(f"unknown frame index {index!r}")
+        else:
+            fi = np.clip(np.arange(num_frames, dtype=np.int32) + int(index), 0, num_frames - 1)
+        out.append(fi)
+    return tuple(out)
+
+
+def cross_frame_kv(x, num_frames: int, indices: Sequence[FrameIndex]):
+    """Sparse-causal KV expansion: each frame's KV tokens become the
+    concatenation of the KV tokens of the frames selected by ``indices``.
+
+    Args:
+      x: ``[B * F, L, D]`` key or value tensor.
+      num_frames: F (static).
+      indices: static tuple of frame indices.
+    Returns: ``[B * F, L * len(indices), D]``.
+    """
+    if not indices:
+        return x
+    bf, l, d = x.shape
+    b = bf // num_frames
+    xv = x.reshape(b, num_frames, l, d)
+    gathers = [xv[:, fi] for fi in resolve_frame_indices(indices, num_frames)]
+    out = jnp.concatenate(gathers, axis=2)
+    return out.reshape(bf, l * len(indices), d)
+
+
+def apply_style_shift(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: int):
+    """AdaIN-guided attention shift on pre-head ``[3F, L, D]`` tensors.
+
+    Branch layout along the batch axis is [content | style | stylized]
+    (reference batching: stable_diffusion.py:704). Inside the step window
+    (traced gate — computed with ``where`` so one compiled graph serves all 50
+    steps) the stylized chunk becomes:
+      q'  = gamma * (alpha * q_cnt + (1-alpha) * q_sty)
+      k'  = beta * adain(k_sty, k_style) + (1-beta) * k_style     (v likewise)
+    (reference: video_diffusion_sd/pnp_utils.py:47-57).
+    """
+    f = num_frames
+    gate = cfg.window_gate(step_idx)
+    beta = cfg.beta(step_idx).astype(jnp.float32)
+
+    q_cnt, q_sty = q[:f], q[2 * f :]
+    k_style, k_sty = k[f : 2 * f], k[2 * f :]
+    v_style, v_sty = v[f : 2 * f], v[2 * f :]
+
+    q_new = cfg.gamma * (cfg.alpha * q_cnt + (1.0 - cfg.alpha) * q_sty)
+    k_new = beta * attention_adain(k_sty, k_style) + (1.0 - beta) * k_style
+    v_new = beta * attention_adain(v_sty, v_style) + (1.0 - beta) * v_style
+
+    q_out = jnp.where(gate, q_new.astype(q.dtype), q_sty)
+    k_out = jnp.where(gate, k_new.astype(k.dtype), k_sty)
+    v_out = jnp.where(gate, v_new.astype(v.dtype), v_sty)
+
+    q = jnp.concatenate([q[: 2 * f], q_out], axis=0)
+    k = jnp.concatenate([k[: 2 * f], k_out], axis=0)
+    v = jnp.concatenate([v[: 2 * f], v_out], axis=0)
+    return q, k, v
+
+
+def apply_style_shift_sd3(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: int):
+    """SD3 variant on per-head ``[3F, heads, N, Dh]`` tensors (after q/k norm;
+    reference: video_diffusion_sd3/pnp_utils.py:181-194)."""
+    f = num_frames
+    gate = cfg.window_gate(step_idx)
+    beta = cfg.beta(step_idx).astype(jnp.float32)
+
+    q_cnt, q_sty = q[:f], q[2 * f :]
+    k_style, k_sty = k[f : 2 * f], k[2 * f :]
+    v_style, v_sty = v[f : 2 * f], v[2 * f :]
+
+    q_new = cfg.gamma * (cfg.alpha * q_cnt + (1.0 - cfg.alpha) * q_sty)
+    k_new = beta * attention_adain_sd3(k_sty, k_style) + (1.0 - beta) * k_style
+    v_new = beta * attention_adain_sd3(v_sty, v_style) + (1.0 - beta) * v_style
+
+    q_out = jnp.where(gate, q_new.astype(q.dtype), q_sty)
+    k_out = jnp.where(gate, k_new.astype(k.dtype), k_sty)
+    v_out = jnp.where(gate, v_new.astype(v.dtype), v_sty)
+
+    q = jnp.concatenate([q[: 2 * f], q_out], axis=0)
+    k = jnp.concatenate([k[: 2 * f], k_out], axis=0)
+    v = jnp.concatenate([v[: 2 * f], v_out], axis=0)
+    return q, k, v
+
+
+def sdpa(q, k, v, scale: float | None = None):
+    """Scaled dot-product attention on ``[B, heads, T, Dh]`` tensors.
+
+    fp32 softmax accumulation regardless of input dtype; XLA fuses this into a
+    flash-style kernel on TPU. A fused Pallas kernel (3-branch shift +
+    sparse-causal KV inside the kernel) lives in
+    univst_tpu/attention/pallas_attention.py and is used on the hot path when
+    shapes allow.
+    """
+    dh = q.shape[-1]
+    if scale is None:
+        scale = dh**-0.5
+    logits = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs.astype(v.dtype), v)
+    return out
+
+
+def mha(q, k, v, num_heads: int, scale: float | None = None):
+    """Multi-head attention over pre-head ``[B, L, D]`` tensors; returns [B, L, D]."""
+    b, tq, d = q.shape
+    dh = d // num_heads
+    s = k.shape[1]
+
+    def split(x, t):
+        return x.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
+
+    out = sdpa(split(q, tq), split(k, s), split(v, s), scale=scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, tq, d)

@@ -1,0 +1,89 @@
+"""Latent-trajectory store.
+
+The reference persists all 51 per-step inversion latents as
+``ddim_latents_{i}.pt`` files and re-reads two of them from disk at *every*
+denoising step of stylization (inversion_tools/ddim_inversion.py:95-111;
+backbones/video_diffusion_sd/pipelines/stable_diffusion.py:683-684). That
+on-disk layout is the hand-off interface between pipeline stages, so we keep it
+byte-compatible (torch fp16 tensors, reference names and [1, C, F, H, W]
+layout) — but on-device the trajectory is a single stacked ``[T+1, F, H, W, C]``
+array indexed inside the ``lax.scan`` denoise loop, never touching the host.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_reference_layout(x: np.ndarray) -> np.ndarray:
+    """[F, H, W, C] -> [1, C, F, H, W] (the reference's torch layout)."""
+    return np.transpose(x, (3, 0, 1, 2))[None]
+
+
+def _from_reference_layout(x: np.ndarray) -> np.ndarray:
+    """[1, C, F, H, W] (or [F, C, H, W] for SD3) -> [F, H, W, C]."""
+    if x.ndim == 5:
+        return np.transpose(x[0], (1, 2, 3, 0))
+    if x.ndim == 4:  # SD3 stores [F, C, H, W] (frames as batch)
+        return np.transpose(x, (0, 2, 3, 1))
+    raise ValueError(f"unexpected latent rank {x.ndim}")
+
+
+def save_trajectory(
+    trajectory,
+    path: str,
+    *,
+    dtype=np.float16,
+    reference_rank: int = 5,
+) -> None:
+    """Write ``ddim_latents_{i}.pt`` for every step i (reference filenames).
+
+    Args:
+      trajectory: ``[T+1, F, H, W, C]`` array (device or host).
+      path: inversion output directory.
+      reference_rank: 5 -> ``[1, C, F, H, W]`` (SD/AnimateDiff), 4 ->
+        ``[F, C, H, W]`` (SD3, which batches frames; flow_inversion.py:149-151).
+    """
+    import torch  # local: torch only lives at the host I/O boundary
+
+    os.makedirs(path, exist_ok=True)
+    traj = np.asarray(trajectory)
+    for i in range(traj.shape[0]):
+        x = traj[i]
+        ref = _to_reference_layout(x) if reference_rank == 5 else np.transpose(x, (0, 3, 1, 2))
+        torch.save(
+            torch.from_numpy(np.ascontiguousarray(ref.astype(dtype))),
+            os.path.join(path, f"ddim_latents_{i}.pt"),
+        )
+
+
+def load_latents_at_t(t: int, path: str) -> np.ndarray:
+    """Load one reference-format latent file -> ``[F, H, W, C]`` fp32.
+
+    (reference: src/util.py:123-130 ``load_ddim_latents_at_t``)
+    """
+    import torch
+
+    fp = os.path.join(path, f"ddim_latents_{t}.pt")
+    if not os.path.exists(fp):
+        raise FileNotFoundError(f"Missing latents at t {t} path {fp}")
+    x = torch.load(fp, weights_only=True, map_location="cpu").float().numpy()
+    return _from_reference_layout(x)
+
+
+def load_trajectory(path: str, num_steps: int, reverse: bool = False) -> jnp.ndarray:
+    """Load the full ``ddim_latents_{0..T}`` set as one stacked device array.
+
+    Args:
+      reverse: if True, index i of the result holds ``ddim_latents_{T-i}`` —
+        the order the stylization loop consumes (step i reads latents at
+        ``T - i``; reference stable_diffusion.py:683).
+    Returns: ``[T+1, F, H, W, C]`` fp32.
+    """
+    idxs = range(num_steps, -1, -1) if reverse else range(num_steps + 1)
+    stack = np.stack([load_latents_at_t(i, path) for i in idxs])
+    return jnp.asarray(stack, dtype=jnp.float32)
