@@ -1,28 +1,25 @@
-"""Test env: force CPU backend with 8 virtual devices for mesh tests.
+"""Test env: force a REAL CPU backend with 8 virtual devices for mesh tests.
 
-Must run before any jax import — the standard JAX idiom for testing
-pjit/shard_map without TPU hardware (SURVEY.md §4).
+The machine's sitecustomize pins ``jax_platforms='axon,cpu'`` (the remote TPU
+tunnel), and the JAX_PLATFORMS env var does NOT override it — every eager op
+would round-trip the network. ``jax.config.update`` does override it; the XLA
+host-device flag must still be in the environment before backend init.
+This is the standard JAX idiom for testing pjit/shard_map without hardware
+(SURVEY.md §4).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Full fp32 matmuls for strict numeric parity tests (the default truncates
-# fp32 matmul inputs to bf16 — the right call on the MXU hot path, wrong for
-# golden tests).
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+import jax  # noqa: E402
 
-import pytest  # noqa: E402
-
-
-@pytest.fixture(autouse=True, scope="session")
-def _strict_matmul_precision():
-    """Belt-and-braces: enforce the precision even if jax was imported first."""
-    import jax
-
-    jax.config.update("jax_default_matmul_precision", "highest")
-    yield
+jax.config.update("jax_platforms", "cpu")
+# Full fp32 matmuls for strict numeric parity tests (the session default
+# truncates fp32 matmul inputs to bf16 — right on the MXU, wrong for goldens).
+jax.config.update("jax_default_matmul_precision", "highest")
+# Whole-graph compiles on the 1-core CPU runner are expensive; cache them.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,144 @@
+"""Three-branch AdaIN-guided localized style transfer as one compiled scan.
+
+Rebuild of ``video_style_transfer`` (SD/AnimateDiff:
+backbones/video_diffusion_sd/pipelines/stable_diffusion.py:630-766; SD3:
+backbones/video_diffusion_sd3/pipelines/custom_pipeline.py:126-371).
+
+TPU-first restructuring:
+  * the content & style latent trajectories are stacked device arrays indexed
+    inside the scan (the reference torch.load's two files and re-reads the mask
+    PNGs from disk at every step, stable_diffusion.py:683-696);
+  * the per-step mask resize happens once ahead of time;
+  * the 3-branch batch [content | style | stylized] is one denoiser call whose
+    attention applies the AdaIN shift via StyleCtx (attention/ops.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univst_tpu.core.adain import latent_adain, latent_adain_sd3
+from univst_tpu.core.config import StyleTransferConfig
+from univst_tpu.core.scheduler import DDIMSchedule, FlowMatchSchedule
+
+
+def _resize_mask(mask, h: int, w: int):
+    """[F, H, W] {0,1} mask -> [F, h, w, 1] bilinear, matching the reference's
+    F.interpolate(..., mode='bilinear', align_corners=False)
+    (stable_diffusion.py:689-691)."""
+    m = jax.image.resize(mask.astype(jnp.float32), (mask.shape[0], h, w), "bilinear")
+    return m[..., None]
+
+
+def style_transfer_ddim(
+    denoise3: Callable,
+    content_traj_rev,
+    style_traj_rev,
+    init_latents,
+    schedule: DDIMSchedule,
+    cfg: StyleTransferConfig,
+    mask=None,
+):
+    """SD / AnimateDiff stylization loop.
+
+    Args:
+      denoise3: ``(latents3 [3F,...], t, step_idx) -> eps3`` — the 3-branch
+        UNet call with StyleCtx applied inside.
+      content_traj_rev / style_traj_rev: ``[N+1, F, h, w, C]`` trajectories
+        ordered so index i holds latents at inversion step ``N - i`` (what
+        denoising step i consumes; reference stable_diffusion.py:683-684).
+      init_latents: ``[F, h, w, C]`` — latent_adain(content_T, style_T) from
+        the runner (run_video_style_transfer_sd.py:55-57).
+      mask: optional ``[F, H, W]`` binary object masks (propagated).
+    Returns final ``[F, h, w, C]`` latents.
+    """
+    n = cfg.num_steps
+    ts = jnp.asarray(schedule.timesteps(n).copy())
+    f, h, w, c = init_latents.shape
+    m = None if mask is None else _resize_mask(mask, h, w).astype(init_latents.dtype)
+
+    def step(latents, inputs):
+        i, t = inputs
+        cnt_t = content_traj_rev[i].astype(latents.dtype)
+        sty_t = style_traj_rev[i].astype(latents.dtype)
+        fi = i.astype(jnp.float32)
+        # localized latent blending, i <= 0.9 N (stable_diffusion.py:687-692)
+        if m is not None:
+            blended = (1.0 - m) * latents + m * cnt_t
+            latents = jnp.where(fi <= cfg.blend_hi * n, blended, latents)
+        # AdaIN re-anchor, 0.8 N < i <= 0.9 N (stable_diffusion.py:694-702)
+        anchored = latent_adain(latents, sty_t)
+        if m is not None:
+            anchored = (1.0 - m) * anchored + m * cnt_t
+        gate = jnp.logical_and(fi > cfg.adain_lo * n, fi <= cfg.adain_hi * n)
+        latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
+
+        x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
+        eps3 = denoise3(x3, t, i)
+        eps = eps3[2 * f :]
+        latents = schedule.step(eps, t, latents, n)
+        return latents, None
+
+    steps = jnp.arange(n)
+    out, _ = jax.lax.scan(step, init_latents, (steps, ts))
+    return out
+
+
+def style_transfer_rf(
+    denoise3: Callable,
+    content_traj_rev,
+    style_traj_rev,
+    init_latents,
+    img_latents,
+    schedule: FlowMatchSchedule,
+    cfg: StyleTransferConfig,
+    eta_values,
+    mask=None,
+    mu: Optional[float] = None,
+):
+    """SD3 stylization loop with the controlled-velocity pull
+    (custom_pipeline.py:279-334). The reference's AdaIN re-anchor line crashes
+    on an undefined variable when a mask is given (``ddim_inv_latents_at_t``,
+    custom_pipeline.py:303); we implement the evidently intended content-latent
+    anchor, i.e. the SD semantics.
+    """
+    n = cfg.num_steps
+    sigmas = jnp.asarray(schedule.sigmas(n, mu=mu))
+    s_curr, s_next = sigmas[:-1], sigmas[1:]
+    etas = jnp.asarray(eta_values, jnp.float32)
+    f, h, w, c = init_latents.shape
+    m = None if mask is None else _resize_mask(mask, h, w).astype(init_latents.dtype)
+    target = img_latents.astype(jnp.float32)
+    scale = schedule.cfg.num_train_timesteps
+
+    def step(latents, inputs):
+        i, sc, sn = inputs
+        cnt_t = content_traj_rev[i].astype(latents.dtype)
+        sty_t = style_traj_rev[i].astype(latents.dtype)
+        fi = i.astype(jnp.float32)
+        if m is not None:
+            blended = (1.0 - m) * latents + m * cnt_t
+            latents = jnp.where(fi <= cfg.blend_hi * n, blended, latents)
+        anchored = latent_adain_sd3(latents, sty_t)
+        if m is not None:
+            anchored = (1.0 - m) * anchored + m * cnt_t
+        # SD3 window is inclusive on both ends (custom_pipeline.py:295)
+        gate = jnp.logical_and(fi >= cfg.adain_lo * n, fi <= cfg.adain_hi * n)
+        latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
+
+        x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
+        v3 = denoise3(x3, sc * scale, i)
+        v = v3[2 * f :].astype(jnp.float32)
+        x32 = latents.astype(jnp.float32)
+        v_target = -(target - x32) / sc
+        v = v + etas[i] * (v_target - v)
+        latents = (x32 + (sn - sc) * v).astype(latents.dtype)
+        return latents, None
+
+    steps = jnp.arange(n)
+    out, _ = jax.lax.scan(step, init_latents, (steps, s_curr, s_next))
+    return out

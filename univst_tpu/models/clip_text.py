@@ -1,0 +1,190 @@
+"""CLIP text encoder (Flax) + tokenizer shim.
+
+The SD / AnimateDiff runners build ``CLIPTextModel`` + ``CLIPTokenizer``
+(src/sd/run_content_inversion_sd.py:39-40); SD3 adds a second CLIP
+(text_encoder_2, OpenCLIP bigG) with projection. Every prompt the reference
+CLIs ever encode is the empty string (init_prompt with prompt="",
+inversion_tools/ddim_inversion.py:171-187), so the tokenizer shim supports
+null prompts natively even with no vocab files on disk; real prompts use a
+user-provided HF tokenizer directory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BOS_TOKEN = 49406
+EOS_TOKEN = 49407
+MAX_LEN = 77
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_positions: int = MAX_LEN
+    intermediate_size: int = 3072
+    hidden_act: str = "quick_gelu"  # SD-2.1 uses "gelu"
+    # text_projection dim; None for plain CLIPTextModel
+    projection_dim: Optional[int] = None
+
+    @staticmethod
+    def sd15(**kw) -> "CLIPTextConfig":
+        return CLIPTextConfig(**kw)
+
+    @staticmethod
+    def sd21(**kw) -> "CLIPTextConfig":
+        return CLIPTextConfig(
+            hidden_size=1024, num_layers=23, num_heads=16,
+            intermediate_size=4096, hidden_act="gelu", **kw
+        )
+
+    @staticmethod
+    def sd3_clip_l(**kw) -> "CLIPTextConfig":
+        return CLIPTextConfig(projection_dim=768, **kw)
+
+    @staticmethod
+    def sd3_clip_g(**kw) -> "CLIPTextConfig":
+        return CLIPTextConfig(
+            hidden_size=1280, num_layers=32, num_heads=20,
+            intermediate_size=5120, hidden_act="gelu", projection_dim=1280, **kw
+        )
+
+    @staticmethod
+    def tiny(**kw) -> "CLIPTextConfig":
+        return CLIPTextConfig(
+            vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, **kw
+        )
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    raise ValueError(name)
+
+
+class CLIPAttention(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, causal_mask):
+        d = self.cfg.hidden_size
+        h = self.cfg.num_heads
+        dh = d // h
+        b, l, _ = x.shape
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+        logits = logits * (dh**-0.5) + causal_mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
+class CLIPLayer(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, causal_mask):
+        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
+        x = x + CLIPAttention(self.cfg, self.dtype, name="self_attn")(h, causal_mask)
+        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = _act(self.cfg.hidden_act)(h)
+        h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class CLIPTextModel(nn.Module):
+    """Returns (last_hidden_state, pooled) like HF CLIPTextModel[WithProjection].
+
+    The pooled output takes the hidden state at the *last* EOS token position
+    (argmax-style pooling is emulated by the caller passing eos positions).
+    """
+
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids):
+        cfg = self.cfg
+        b, l = input_ids.shape
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="token_embedding")(
+            input_ids
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.max_positions, cfg.hidden_size),
+            jnp.float32,
+        )
+        x = tok + pos[None, :l].astype(self.dtype)
+        causal = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)[None, None]
+        for i in range(cfg.num_layers):
+            x = CLIPLayer(cfg, self.dtype, name=f"layer_{i}")(x, causal)
+        x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        # pooled: hidden state at the first EOS position per sequence
+        eos_pos = jnp.argmax((input_ids == EOS_TOKEN).astype(jnp.int32), axis=1)
+        pooled = x[jnp.arange(b), eos_pos]
+        if cfg.projection_dim is not None:
+            pooled = nn.Dense(
+                cfg.projection_dim, use_bias=False, dtype=self.dtype, name="text_projection"
+            )(pooled)
+        return x, pooled
+
+
+class Tokenizer:
+    """CLIP tokenizer shim.
+
+    * With ``hf_dir`` pointing at an HF checkpoint's ``tokenizer`` folder, uses
+      transformers' CLIPTokenizer (full BPE, offline files).
+    * Without it, supports only the prompts the reference pipelines actually
+      use: the empty string -> [BOS, EOS, EOS, ...] (CLIP pads with EOS).
+    """
+
+    def __init__(self, hf_dir: Optional[str] = None, max_len: int = MAX_LEN):
+        self.max_len = max_len
+        self._tok = None
+        if hf_dir is not None:
+            from transformers import CLIPTokenizer as _HFTok
+
+            self._tok = _HFTok.from_pretrained(hf_dir)
+
+    def __call__(self, prompts) -> np.ndarray:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if self._tok is not None:
+            out = self._tok(
+                prompts, padding="max_length", max_length=self.max_len,
+                truncation=True, return_tensors="np",
+            )
+            return out["input_ids"].astype(np.int32)
+        ids = []
+        for p in prompts:
+            if p.strip():
+                raise ValueError(
+                    "No tokenizer vocabulary available offline; only empty "
+                    "prompts are supported without --pretrained_model_path "
+                    "tokenizer files. Got a non-empty prompt."
+                )
+            row = [BOS_TOKEN, EOS_TOKEN] + [EOS_TOKEN] * (self.max_len - 2)
+            ids.append(row)
+        return np.asarray(ids, np.int32)

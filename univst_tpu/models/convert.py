@@ -1,0 +1,358 @@
+"""torch/diffusers checkpoint -> Flax parameter converters.
+
+Rebuild of the reference weight plumbing (SURVEY.md C19):
+  * diffusers 2D SD UNet -> inflated pseudo-3D Flax UNet, preserving the
+    reference's from_2d_model semantics (unet_3d_condition.py:445-509):
+    every 2D key must land, temporal params keep their identity/zero inits.
+  * diffusers AutoencoderKL / AutoencoderKLTemporalDecoder -> Flax VAE.
+  * HF CLIPTextModel -> Flax CLIP.
+
+All converters are *strict*: unconsumed source keys or unassigned (non-temporal)
+target leaves raise, mirroring load_2d_state_dict's both-direction check.
+
+Weight layout transforms (torch -> flax):
+  Linear  [out, in]        -> kernel [in, out]            (transpose)
+  Conv2d  [out, in, kh, kw]-> kernel [kh, kw, in, out]    (2, 3, 1, 0)
+  Conv1d  [out, in, k]     -> kernel [k, in, out]         (2, 1, 0)
+  Norm    weight/bias      -> scale/bias
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from univst_tpu.models.unet_sd import UNetSDConfig
+from univst_tpu.models.vae import VAEConfig
+from univst_tpu.models.clip_text import CLIPTextConfig
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .bin/.pt/.ckpt/.safetensors file to numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _linear(w):
+    return np.ascontiguousarray(w.T)
+
+
+def _conv2d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _conv1d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+class _TreeBuilder:
+    """Accumulates flax param leaves by '/'-joined path with strict accounting."""
+
+    def __init__(self, source: Mapping[str, np.ndarray]):
+        self.src = dict(source)
+        self.used = set()
+        self.tree: Dict = {}
+
+    def take(self, key: str) -> np.ndarray:
+        if key not in self.src:
+            raise KeyError(f"source checkpoint is missing key: {key}")
+        self.used.add(key)
+        return self.src[key]
+
+    def has(self, key: str) -> bool:
+        return key in self.src
+
+    def put(self, path: str, value: np.ndarray):
+        parts = path.split("/")
+        node = self.tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if parts[-1] in node:
+            raise ValueError(f"duplicate assignment to {path}")
+        node[parts[-1]] = value
+
+    def linear(self, src: str, dst: str, bias: bool = True):
+        self.put(dst + "/kernel", _linear(self.take(src + ".weight")))
+        if bias:
+            self.put(dst + "/bias", self.take(src + ".bias"))
+
+    def conv2d(self, src: str, dst: str):
+        self.put(dst + "/kernel", _conv2d(self.take(src + ".weight")))
+        self.put(dst + "/bias", self.take(src + ".bias"))
+
+    def conv1d(self, src: str, dst: str):
+        self.put(dst + "/kernel", _conv1d(self.take(src + ".weight")))
+        self.put(dst + "/bias", self.take(src + ".bias"))
+
+    def norm(self, src: str, dst: str):
+        self.put(dst + "/scale", self.take(src + ".weight"))
+        self.put(dst + "/bias", self.take(src + ".bias"))
+
+    def finish(self, allow_unused_prefixes: Tuple[str, ...] = ()) -> Dict:
+        unused = [
+            k
+            for k in self.src
+            if k not in self.used and not any(k.startswith(p) for p in allow_unused_prefixes)
+        ]
+        if unused:
+            raise ValueError(
+                f"{len(unused)} unconsumed checkpoint keys, e.g. {sorted(unused)[:5]}"
+            )
+        return self.tree
+
+
+# ---------------------------------------------------------------------------
+# SD UNet (diffusers 2D UNet2DConditionModel checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _unet_transformer(b: _TreeBuilder, src: str, dst: str, use_linear: bool):
+    b.norm(f"{src}.norm", f"{dst}/norm")
+    if use_linear:
+        b.linear(f"{src}.proj_in", f"{dst}/proj_in")
+        b.linear(f"{src}.proj_out", f"{dst}/proj_out")
+    else:
+        # 1x1 conv == dense on NHWC: squeeze the spatial dims
+        w = b.take(f"{src}.proj_in.weight")
+        b.put(f"{dst}/proj_in/kernel", _linear(w[:, :, 0, 0]))
+        b.put(f"{dst}/proj_in/bias", b.take(f"{src}.proj_in.bias"))
+        w = b.take(f"{src}.proj_out.weight")
+        b.put(f"{dst}/proj_out/kernel", _linear(w[:, :, 0, 0]))
+        b.put(f"{dst}/proj_out/bias", b.take(f"{src}.proj_out.bias"))
+    blk_s = f"{src}.transformer_blocks.0"
+    blk_d = f"{dst}/block"
+    for attn in ("attn1", "attn2"):
+        b.linear(f"{blk_s}.{attn}.to_q", f"{blk_d}/{attn}/to_q", bias=False)
+        b.linear(f"{blk_s}.{attn}.to_k", f"{blk_d}/{attn}/to_k", bias=False)
+        b.linear(f"{blk_s}.{attn}.to_v", f"{blk_d}/{attn}/to_v", bias=False)
+        b.linear(f"{blk_s}.{attn}.to_out.0", f"{blk_d}/{attn}/to_out")
+    for ln in ("norm1", "norm2", "norm3"):
+        b.norm(f"{blk_s}.{ln}", f"{blk_d}/{ln}")
+    b.linear(f"{blk_s}.ff.net.0.proj", f"{blk_d}/ff/proj")
+    b.linear(f"{blk_s}.ff.net.2", f"{blk_d}/ff/out")
+
+
+def _unet_resnet(b: _TreeBuilder, src: str, dst: str):
+    b.norm(f"{src}.norm1", f"{dst}/norm1")
+    b.conv2d(f"{src}.conv1", f"{dst}/conv1/spatial")
+    b.linear(f"{src}.time_emb_proj", f"{dst}/time_emb_proj")
+    b.norm(f"{src}.norm2", f"{dst}/norm2")
+    b.conv2d(f"{src}.conv2", f"{dst}/conv2/spatial")
+    if b.has(f"{src}.conv_shortcut.weight"):
+        b.conv2d(f"{src}.conv_shortcut", f"{dst}/conv_shortcut/spatial")
+
+
+def convert_sd_unet(
+    state_dict: Mapping[str, np.ndarray], cfg: UNetSDConfig
+) -> Dict:
+    """diffusers UNet2DConditionModel state_dict -> partial Flax tree.
+
+    Temporal parameters (conv temporal taps, attn_temporal, norm_temporal) are
+    deliberately absent — merge over the Flax init with
+    :func:`merge_into_params` so they keep their identity/zero inits
+    (reference: load_2d_state_dict skips '*_temporal', unet_3d_condition.py:502-504).
+    """
+    b = _TreeBuilder(state_dict)
+    n = len(cfg.block_out_channels)
+    lin = cfg.use_linear_projection
+
+    b.conv2d("conv_in", "conv_in/spatial")
+    b.linear("time_embedding.linear_1", "time_embedding/linear_1")
+    b.linear("time_embedding.linear_2", "time_embedding/linear_2")
+
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            _unet_resnet(b, f"down_blocks.{i}.resnets.{j}", f"down_{i}/resnet_{j}")
+            if cfg.down_block_has_attn[i]:
+                _unet_transformer(
+                    b, f"down_blocks.{i}.attentions.{j}", f"down_{i}/attn_{j}", lin
+                )
+        if i < n - 1:
+            b.conv2d(f"down_blocks.{i}.downsamplers.0.conv", f"down_{i}/downsample/spatial")
+
+    _unet_resnet(b, "mid_block.resnets.0", "mid/resnet_0")
+    _unet_resnet(b, "mid_block.resnets.1", "mid/resnet_1")
+    _unet_transformer(b, "mid_block.attentions.0", "mid/attn_0", lin)
+
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            _unet_resnet(b, f"up_blocks.{i}.resnets.{j}", f"up_{i}/resnet_{j}")
+            if cfg.up_block_has_attn[i]:
+                _unet_transformer(
+                    b, f"up_blocks.{i}.attentions.{j}", f"up_{i}/attn_{j}", lin
+                )
+        if i < n - 1:
+            b.conv2d(f"up_blocks.{i}.upsamplers.0.conv", f"up_{i}/upsample/spatial")
+
+    b.norm("conv_norm_out", "conv_norm_out")
+    b.conv2d("conv_out", "conv_out/spatial")
+    return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# VAE (AutoencoderKL / AutoencoderKLTemporalDecoder)
+# ---------------------------------------------------------------------------
+
+
+def _vae_resnet(b: _TreeBuilder, src: str, dst: str):
+    b.norm(f"{src}.norm1", f"{dst}/norm1")
+    b.conv2d(f"{src}.conv1", f"{dst}/conv1")
+    b.norm(f"{src}.norm2", f"{dst}/norm2")
+    b.conv2d(f"{src}.conv2", f"{dst}/conv2")
+    if b.has(f"{src}.conv_shortcut.weight"):
+        b.conv2d(f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+
+
+def _vae_temporal_resnet(b: _TreeBuilder, src: str, dst: str):
+    b.norm(f"{src}.norm1", f"{dst}/norm1")
+    # temporal convs are (3,1,1) Conv3d in torch: [out, in, 3, 1, 1]
+    for conv in ("conv1", "conv2"):
+        w = b.take(f"{src}.{conv}.weight")[:, :, :, 0, 0]  # [out, in, 3]
+        b.put(f"{dst}/{conv}/kernel", _conv1d(w))
+        b.put(f"{dst}/{conv}/bias", b.take(f"{src}.{conv}.bias"))
+    b.norm(f"{src}.norm2", f"{dst}/norm2")
+    if b.has(f"{src}.conv_shortcut.weight"):
+        w = b.take(f"{src}.conv_shortcut.weight")[:, :, 0, 0, 0]
+        b.put(f"{dst}/conv_shortcut/kernel", _linear(w))
+        b.put(f"{dst}/conv_shortcut/bias", b.take(f"{src}.conv_shortcut.bias"))
+
+
+def _vae_attention(b: _TreeBuilder, src: str, dst: str):
+    b.norm(f"{src}.group_norm", f"{dst}/norm")
+    for p in ("to_q", "to_k", "to_v"):
+        b.linear(f"{src}.{p}", f"{dst}/{p}")
+    b.linear(f"{src}.to_out.0", f"{dst}/to_out")
+
+
+def convert_vae(state_dict: Mapping[str, np.ndarray], cfg: VAEConfig) -> Dict:
+    b = _TreeBuilder(state_dict)
+    n = len(cfg.block_out_channels)
+
+    # encoder
+    b.conv2d("encoder.conv_in", "encoder/conv_in")
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            _vae_resnet(b, f"encoder.down_blocks.{i}.resnets.{j}", f"encoder/down_{i}_res_{j}")
+        if i < n - 1:
+            b.conv2d(f"encoder.down_blocks.{i}.downsamplers.0.conv", f"encoder/down_{i}_conv")
+    _vae_resnet(b, "encoder.mid_block.resnets.0", "encoder/mid_res_0")
+    _vae_attention(b, "encoder.mid_block.attentions.0", "encoder/mid_attn")
+    _vae_resnet(b, "encoder.mid_block.resnets.1", "encoder/mid_res_1")
+    b.norm("encoder.conv_norm_out", "encoder/norm_out")
+    b.conv2d("encoder.conv_out", "encoder/conv_out")
+    b.conv2d("quant_conv", "encoder/quant_conv")
+
+    # decoder
+    b.conv2d("decoder.conv_in", "decoder/conv_in")
+    temporal = cfg.temporal_decoder
+
+    def dec_res(src, dst):
+        if temporal:
+            _vae_resnet(b, f"{src}.spatial_res_block", f"{dst}/spatial")
+            _vae_temporal_resnet(b, f"{src}.temporal_res_block", f"{dst}/temporal")
+            b.put(f"{dst}/time_mixer/mix_factor", np.atleast_1d(b.take(f"{src}.time_mixer.mix_factor")))
+        else:
+            _vae_resnet(b, src, dst)
+
+    dec_res("decoder.mid_block.resnets.0", "decoder/mid_res_0")
+    if b.has("decoder.mid_block.attentions.0.to_q.weight"):
+        _vae_attention(b, "decoder.mid_block.attentions.0", "decoder/mid_attn")
+    dec_res("decoder.mid_block.resnets.1", "decoder/mid_res_1")
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            dec_res(f"decoder.up_blocks.{i}.resnets.{j}", f"decoder/up_{i}_res_{j}")
+        if i < n - 1:
+            b.conv2d(f"decoder.up_blocks.{i}.upsamplers.0.conv", f"decoder/up_{i}_conv")
+    b.norm("decoder.conv_norm_out", "decoder/norm_out")
+    b.conv2d("decoder.conv_out", "decoder/conv_out")
+    if temporal:
+        w = b.take("decoder.time_conv_out.weight")[:, :, :, 0, 0]
+        b.put("decoder/time_conv_out/kernel", _conv1d(w))
+        b.put("decoder/time_conv_out/bias", b.take("decoder.time_conv_out.bias"))
+    else:
+        b.conv2d("post_quant_conv", "decoder/post_quant_conv")
+    return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_text(state_dict: Mapping[str, np.ndarray], cfg: CLIPTextConfig) -> Dict:
+    b = _TreeBuilder(state_dict)
+    pre = "text_model."
+    b.put("token_embedding/embedding", b.take(pre + "embeddings.token_embedding.weight"))
+    b.put("position_embedding", b.take(pre + "embeddings.position_embedding.weight"))
+    for i in range(cfg.num_layers):
+        s = f"{pre}encoder.layers.{i}"
+        d = f"layer_{i}"
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            b.linear(f"{s}.self_attn.{p}", f"{d}/self_attn/{p}")
+        b.norm(f"{s}.layer_norm1", f"{d}/layer_norm1")
+        b.norm(f"{s}.layer_norm2", f"{d}/layer_norm2")
+        b.linear(f"{s}.mlp.fc1", f"{d}/fc1")
+        b.linear(f"{s}.mlp.fc2", f"{d}/fc2")
+    b.norm(pre + "final_layer_norm", "final_layer_norm")
+    if cfg.projection_dim is not None:
+        b.linear("text_projection", "text_projection", bias=False)
+    # position_ids buffers and unused extra layers are ignorable
+    return b.finish(allow_unused_prefixes=("text_model.embeddings.position_ids",))
+
+
+# ---------------------------------------------------------------------------
+# merge helpers
+# ---------------------------------------------------------------------------
+
+
+def merge_into_params(init_params: Dict, converted: Dict, path: str = "") -> Dict:
+    """Overlay converted leaves onto an init tree, strict on shape mismatches.
+
+    Leaves present in init but not in converted keep their init values (the
+    temporal identity/zero params). Leaves in converted but absent from init
+    raise.
+    """
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in init_params.items():
+        p = f"{path}/{k}" if path else k
+        if isinstance(v, dict):
+            sub = converted.get(k, {})
+            if not isinstance(sub, dict):
+                raise ValueError(f"tree/leaf mismatch at {p}")
+            out[k] = merge_into_params(v, sub, p)
+        else:
+            if k in converted:
+                c = converted[k]
+                if tuple(c.shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {p}: ckpt {c.shape} vs model {v.shape}"
+                    )
+                out[k] = jnp.asarray(c, dtype=v.dtype)
+            else:
+                out[k] = v
+    extra = _extra_paths(converted, init_params)
+    if extra:
+        raise ValueError(f"converted keys not present in model: {extra[:5]}")
+    return out
+
+
+def _extra_paths(converted: Dict, init_params: Dict, path: str = ""):
+    extra = []
+    for k, v in converted.items():
+        p = f"{path}/{k}" if path else k
+        if k not in init_params:
+            extra.append(p)
+        elif isinstance(v, dict) and isinstance(init_params[k], dict):
+            extra.extend(_extra_paths(v, init_params[k], p))
+    return extra

@@ -1,0 +1,273 @@
+"""Shared Flax building blocks for the video diffusion backbones.
+
+Layout conventions (TPU-first, channels-last):
+  * spatial feature maps: ``[B*F, H, W, C]`` with static ``num_frames`` carried
+    in a :class:`VideoCtx`; B is the branch count (3 during stylization).
+  * token sequences: ``[B*F, L, D]``.
+
+The reference's runtime monkey-patching / ``setattr(module, 'idx', t)`` state
+(video_diffusion_sd/pnp_utils.py:7-15,104-111) is replaced by two explicit
+pytree arguments threaded through every ``__call__``:
+  * :class:`VideoCtx` — static video shape + sparse-causal index set.
+  * :class:`StyleCtx` — traced step index + static shift constants; ``None``
+    outside stylization.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univst_tpu.attention.ops import apply_style_shift, cross_frame_kv, mha
+from univst_tpu.core.config import FrameIndex, StyleShiftConfig
+
+
+@flax.struct.dataclass
+class VideoCtx:
+    """Static video context. frame_indices mirrors SparseCausalAttention_index
+    (video_diffusion_sd/models/attention.py:356)."""
+
+    num_frames: int = flax.struct.field(pytree_node=False, default=1)
+    frame_indices: Tuple[FrameIndex, ...] = flax.struct.field(
+        pytree_node=False, default=(-1, 0, "first")
+    )
+
+    @property
+    def is_video(self) -> bool:
+        return self.num_frames > 1
+
+
+@flax.struct.dataclass
+class StyleCtx:
+    """Per-step stylization context (replaces register_time + patched attn)."""
+
+    step_idx: jnp.ndarray  # traced scalar int
+    cfg: StyleShiftConfig = flax.struct.field(pytree_node=False, default=None)
+
+
+def timestep_embedding(
+    timesteps, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0
+):
+    """Sinusoidal timestep embedding, bit-matching diffusers get_timestep_embedding
+    (used via Timesteps in unet_3d_condition.py:100)."""
+    timesteps = jnp.atleast_1d(jnp.asarray(timesteps, jnp.float32))
+    half = dim // 2
+    exponent = -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = timesteps[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedMLP(nn.Module):
+    """linear -> silu -> linear (diffusers TimestepEmbedding)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over ``[B*F, H, W, C]`` with optional cross-frame statistics.
+
+    torch GroupNorm on the reference's 5D ``[B, C, F, H, W]`` tensors computes
+    stats over (C/g, F, H, W) — i.e. *spanning frames* (ResnetBlockPseudo3D
+    norms, resnet.py:274-296). With ``across_frames=True`` and a video ctx we
+    reproduce that; ``across_frames=False`` is the per-frame variant used
+    inside transformer blocks (attention.py:69-71) and by AnimateDiff's
+    InflatedGroupNorm.
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    across_frames: bool = False
+    num_frames: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        bf = x.shape[0]
+        spatial = x.shape[1:-1]
+        if self.across_frames and self.num_frames > 1:
+            f = self.num_frames
+            xg = xf.reshape((bf // f, f) + spatial + (g, c // g))
+            axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        else:
+            xg = xf.reshape((bf,) + spatial + (g, c // g))
+            axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.var(xg, axis=axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        out = xg.reshape(xf.shape) * scale + bias
+        return out.astype(orig_dtype)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """GEGLU MLP (diffusers FeedForward with activation_fn='geglu')."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
+
+
+class SelfAttention(nn.Module):
+    """Sparse-causal spatial self-attention with optional 3-branch AdaIN shift.
+
+    Rebuild of SparseCausalAttention (video_diffusion_sd/models/attention.py:349)
+    + the PnP-patched forward (pnp_utils.py:18-100): the cross-frame KV gather
+    and the style shift are applied to the projected q/k/v as pure functions.
+    Shift order matches the reference: shift first, then KV expansion.
+    """
+
+    num_heads: int
+    apply_pnp: bool = False  # is this one of the 8 registered decoder attn1s?
+    zero_out_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_ctx: VideoCtx, style_ctx: Optional[StyleCtx] = None):
+        d = x.shape[-1]
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(x)
+
+        if self.apply_pnp and style_ctx is not None and style_ctx.cfg is not None:
+            q, k, v = apply_style_shift(
+                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
+            )
+        if video_ctx.is_video and video_ctx.frame_indices:
+            k = cross_frame_kv(k, video_ctx.num_frames, video_ctx.frame_indices)
+            v = cross_frame_kv(v, video_ctx.num_frames, video_ctx.frame_indices)
+
+        out = mha(q, k, v, self.num_heads)
+        kernel_init = (
+            nn.initializers.zeros if self.zero_out_init else nn.initializers.lecun_normal()
+        )
+        return nn.Dense(d, dtype=self.dtype, kernel_init=kernel_init, name="to_out")(out)
+
+
+class CrossAttention(nn.Module):
+    """Text cross-attention (diffusers CrossAttention / attn2)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        d = x.shape[-1]
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = mha(q, k, v, self.num_heads)
+        return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
+
+
+class TemporalSelfAttention(nn.Module):
+    """Temporal attention over the frame axis per spatial location.
+
+    Zero-initialized output projection so the video model equals the 2D model
+    at init (reference attention.py:225-233).
+    """
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int):
+        bf, l, d = x.shape
+        b = bf // num_frames
+        # (b f) l d -> (b l) f d
+        xt = x.reshape(b, num_frames, l, d).transpose(0, 2, 1, 3).reshape(b * l, num_frames, d)
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(xt)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(xt)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(xt)
+        out = mha(q, k, v, self.num_heads)
+        out = nn.Dense(
+            d, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out"
+        )(out)
+        return out.reshape(b, l, num_frames, d).transpose(0, 2, 1, 3).reshape(bf, l, d)
+
+
+class PseudoConv3d(nn.Module):
+    """2D spatial conv + temporal 1D conv, the pseudo-3D inflation
+    (reference resnet.py:12-80).
+
+    The temporal conv is dirac-initialized (identity over the frame axis,
+    resnet.py:54-55) so loading 2D weights preserves the 2D function exactly.
+    Skipped when kernel_size == 1 or for non-video input, matching reference.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    temporal: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_ctx: VideoCtx):
+        ks = self.kernel_size
+        x = nn.Conv(
+            self.features,
+            (ks, ks),
+            strides=(self.strides, self.strides),
+            padding=[(ks // 2, ks // 2)] * 2,
+            dtype=self.dtype,
+            name="spatial",
+        )(x)
+        if not self.temporal or ks <= 1 or not video_ctx.is_video:
+            return x
+        f = video_ctx.num_frames
+        bf, h, w, c = x.shape
+        b = bf // f
+        # (b f) h w c -> (b h w) f c : Conv1d over frames, identity at init
+        xt = x.reshape(b, f, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+
+        def dirac_init(key, shape, dtype=jnp.float32):
+            # shape = (ks, in, out); identity tap at the center
+            kernel = jnp.zeros(shape, dtype)
+            return kernel.at[shape[0] // 2].set(jnp.eye(shape[1], shape[2], dtype=dtype))
+
+        xt = nn.Conv(
+            c,
+            (ks,),
+            padding=[(ks // 2, ks // 2)],
+            kernel_init=dirac_init,
+            dtype=self.dtype,
+            name="temporal",
+        )(xt)
+        return xt.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4).reshape(bf, h, w, c)
+
+
+def upsample_nearest_2x(x):
+    """[N, H, W, C] -> [N, 2H, 2W, C] nearest (reference resnet.py:145)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
