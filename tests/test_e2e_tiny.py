@@ -1,0 +1,92 @@
+"""End-to-end 4-step workflow smoke test on the tiny SD variant (CPU):
+content inversion -> style inversion -> mask propagation -> localized style
+transfer, exercising the reference CLI surface and on-disk hand-off formats
+(scripts/start_sd.sh workflow)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+FRAMES, SIZE, STEPS = 4, 64, 10
+
+
+@pytest.fixture(scope="module")
+def example_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    content_dir = root / "contents" / "vid"
+    content_dir.mkdir(parents=True)
+    base = rng.integers(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+    for i in range(FRAMES):
+        img = np.roll(base, shift=i * 2, axis=1)
+        img[20:36, 10 + 4 * i : 26 + 4 * i] = [250, 60, 40]  # moving object
+        Image.fromarray(img).save(content_dir / ("%05d.png" % i))
+    style = rng.integers(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+    Image.fromarray(style).save(root / "style.png")
+    mask = np.zeros((SIZE, SIZE), np.uint8)
+    mask[20:36, 10:26] = 1
+    Image.fromarray(mask, mode="L").save(root / "mask.png")
+    return root
+
+
+def test_full_workflow(example_data):
+    root = example_data
+    out = root / "results"
+
+    from univst_tpu.cli import run_content_inversion_sd as ci
+    from univst_tpu.cli import run_style_inversion_sd as si
+    from univst_tpu.cli import mask_propagation as mp
+    from univst_tpu.cli import run_video_style_transfer_sd as st
+
+    common = [
+        "--variant", "tiny", "--num_frames", str(FRAMES), "--height", str(SIZE),
+        "--width", str(SIZE), "--time_steps", str(STEPS), "--platform", "cpu",
+    ]
+    # step 1: content inversion (ft_timesteps=301 is in the 10-step schedule)
+    ci.main(ci.build_parser().parse_args(common + [
+        "--content_path", str(root / "contents" / "vid"),
+        "--output_path", str(out / "contents-inv"),
+        "--ft_timesteps", "301", "--is_opt",
+    ]))
+    inv_dir = out / "contents-inv" / "sd" / "vid"
+    assert (inv_dir / "inversion" / f"ddim_latents_{STEPS}.pt").exists()
+    assert (inv_dir / "inversion" / "ddim_latents_0.pt").exists()
+    feat_path = inv_dir / "features" / "inversion_feature_map_2_block_301_step.pt"
+    assert feat_path.exists()
+
+    # step 2: style inversion
+    si.main(si.build_parser().parse_args(common + [
+        "--style_path", str(root / "style.png"),
+        "--output_path", str(out / "styles-inv"),
+    ]))
+    assert (out / "styles-inv" / "sd" / "style" / "inversion" /
+            f"ddim_latents_{STEPS}.pt").exists()
+
+    # step 3: mask propagation
+    mp.main(mp.build_parser().parse_args([
+        "--feature_path", str(feat_path),
+        "--backbone", "sd",
+        "--mask_path", str(root / "mask.png"),
+        "--output_path", str(out / "masks"),
+        "--num_frames", str(FRAMES),
+        "--platform", "cpu",
+    ]))
+    mask_dir = out / "masks" / "sd" / "mask"
+    for i in range(FRAMES):
+        assert (mask_dir / ("%05d.png" % i)).exists()
+
+    # step 4: localized style transfer
+    st.main(st.build_parser().parse_args(common + [
+        "--content_inv_path", str(inv_dir / "inversion"),
+        "--style_inv_path", str(out / "styles-inv" / "sd" / "style" / "inversion"),
+        "--mask_path", str(mask_dir),
+        "--output_path", str(out / "stylizations"),
+    ]))
+    styl_dir = out / "stylizations" / "sd" / "vid_style"
+    frames = sorted(os.listdir(styl_dir))
+    assert len(frames) == FRAMES
+    img = np.asarray(Image.open(styl_dir / frames[0]))
+    assert img.shape == (SIZE, SIZE, 3)
+    assert img.std() > 0  # not a constant image

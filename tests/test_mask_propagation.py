@@ -1,0 +1,76 @@
+"""Mask propagation tests on a synthetic moving square (SURVEY.md §4 test
+plan): a bright square moves across frames; its features are distinctive, so
+the propagated mask must track it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univst_tpu.methods.mask_propagation import (
+    MaskPropConfig,
+    _propagate_one,
+    propagate_masks,
+    to_one_hot,
+    upsample_and_binarize,
+)
+
+
+def _moving_square_features(f=6, h=16, w=16, c=8, size=4, seed=0):
+    """Features: object pixels share one random direction, bg another + noise."""
+    rng = np.random.default_rng(seed)
+    obj_dir = rng.standard_normal(c)
+    bg_dir = rng.standard_normal(c)
+    feats = np.zeros((f, h, w, c), np.float32)
+    masks = np.zeros((f, h, w), np.int32)
+    for i in range(f):
+        x0 = 2 + i  # moves right one pixel per frame
+        feats[i] = bg_dir + 0.05 * rng.standard_normal((h, w, c))
+        feats[i, 5 : 5 + size, x0 : x0 + size] = obj_dir + 0.05 * rng.standard_normal(
+            (size, size, c)
+        )
+        masks[i, 5 : 5 + size, x0 : x0 + size] = 1
+    return feats, masks
+
+
+def test_propagate_one_recovers_translated_mask():
+    feats, masks = _moving_square_features()
+    cfg = MaskPropConfig(topk=5)
+    f0 = jnp.asarray(feats[0].reshape(-1, feats.shape[-1]))
+    f1 = jnp.asarray(feats[1].reshape(-1, feats.shape[-1]))
+    seg0 = to_one_hot(jnp.asarray(masks[0]), 2)
+    segs1 = _propagate_one(f0, seg0, jnp.ones(f0.shape[0], bool), f1, cfg)
+    pred = np.asarray(jnp.argmax(segs1, axis=0).reshape(16, 16))
+    iou = (pred * masks[1]).sum() / np.maximum((pred | masks[1]).sum(), 1)
+    assert iou > 0.8, f"IoU {iou}"
+
+
+def test_propagate_masks_full_video():
+    feats, masks = _moving_square_features()
+    f, h, w, c = feats.shape
+    cfg = MaskPropConfig(topk=5, n_last_frames=3)
+    segs = propagate_masks(
+        jnp.asarray(feats.reshape(f, h * w, c)),
+        to_one_hot(jnp.asarray(masks[0]), 2),
+        cfg,
+        key=jax.random.PRNGKey(0),
+    )
+    assert segs.shape == (f - 1, 2, h * w)
+    for i in range(f - 1):
+        pred = np.asarray(jnp.argmax(segs[i], axis=0).reshape(h, w))
+        gt = masks[i + 1]
+        iou = (pred * gt).sum() / np.maximum((pred | gt).sum(), 1)
+        assert iou > 0.6, f"frame {i+1} IoU {iou}"
+
+
+def test_upsample_and_binarize():
+    feats, masks = _moving_square_features()
+    f, h, w, c = feats.shape
+    segs = propagate_masks(
+        jnp.asarray(feats.reshape(f, h * w, c)),
+        to_one_hot(jnp.asarray(masks[0]), 2),
+        MaskPropConfig(topk=5, n_last_frames=3),
+    )
+    out = np.asarray(upsample_and_binarize(segs, (h, w), (64, 64)))
+    assert out.shape == (f - 1, 64, 64)
+    assert set(np.unique(out)).issubset({0, 255})
+    assert out.sum() > 0  # something was propagated

@@ -1,0 +1,74 @@
+"""Shared CLI plumbing: platform selection, dtype parsing, output trees."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def setup_jax(platform: Optional[str] = None, cache_dir: str = "/tmp/univst_jax_cache"):
+    """Select the JAX platform and enable the persistent compile cache.
+
+    On this machine a sitecustomize pins ``jax_platforms='axon,cpu'`` (remote
+    TPU first); pass platform='cpu' to force host execution.
+    """
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def parse_dtype(name: str):
+    import jax.numpy as jnp
+
+    return {
+        "bf16": jnp.bfloat16,
+        "bfloat16": jnp.bfloat16,
+        "fp16": jnp.bfloat16,  # fp16 requests map to bf16 on TPU
+        "torch.float16": jnp.bfloat16,
+        "fp32": jnp.float32,
+        "float32": jnp.float32,
+    }[str(name)]
+
+
+def make_output_tree(output_path: str, backbone: str, name: str):
+    """{out}/{backbone}/{name}/{inversion,reconstruction,features}
+    (reference run_content_inversion_sd.py:60-66)."""
+    base = os.path.join(output_path, backbone, name)
+    paths = {
+        "base": base,
+        "inversion": os.path.join(base, "inversion"),
+        "reconstruction": os.path.join(base, "reconstruction"),
+        "features": os.path.join(base, "features"),
+    }
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+    return paths
+
+
+def save_feature_pt(feature: np.ndarray, features_dir: str, ft_index: int, ft_timestep: int):
+    """Save the captured decoder feature in the reference's format:
+    ``inversion_feature_map_{i}_block_{t}_step.pt`` holding [F, H, W, C]
+    (unet_3d_condition.py:429-436)."""
+    import torch
+
+    path = os.path.join(
+        features_dir, f"inversion_feature_map_{ft_index}_block_{ft_timestep}_step.pt"
+    )
+    torch.save(torch.from_numpy(np.asarray(feature, np.float16)), path)
+    print(f"save feature map at: {path}")
+    return path
+
+
+def load_feature_pt(path: str) -> np.ndarray:
+    import torch
+
+    return torch.load(path, weights_only=True, map_location="cpu").float().numpy()

@@ -1,0 +1,75 @@
+"""Style-image DDIM inversion CLI (SD backbone).
+
+Rebuild of src/sd/run_style_inversion_sd.py: the style image is repeated to
+num_frames frames (inversion_tools/ddim_inversion.py:45-65), inverted without
+EasyInv by default, trajectory + reconstruction written like content inversion
+(no feature capture)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from univst_tpu.cli.common import make_output_tree, parse_dtype, setup_jax
+from univst_tpu.utils.io import load_style_image, save_video, seed_everything
+
+
+def main(args):
+    setup_jax(args.platform)
+    import jax
+
+    from univst_tpu.core.trajectory import save_trajectory
+    from univst_tpu.pipelines.sd import SDVideoPipeline
+
+    if args.seed is not None:
+        seed_everything(args.seed)
+
+    pipe = SDVideoPipeline.build(
+        pretrained_model_path=args.pretrained_model_path,
+        variant=args.variant,
+        num_frames=args.num_frames,
+        height=args.height,
+        width=args.width,
+        dtype=parse_dtype(args.weight_dtype),
+        seed=args.seed or 0,
+    )
+    name = os.path.basename(args.style_path).split(".")[0]
+    paths = make_output_tree(args.output_path, args.backbone, name)
+
+    frames = load_style_image(args.style_path, args.num_frames, (args.width, args.height))
+    latents = pipe.encode_frames(frames, jax.random.PRNGKey(args.seed or 0))
+    context = pipe.encode_text("")
+
+    print("inversion:")
+    traj, _ = pipe.invert(latents, context, num_steps=args.time_steps, is_opt=args.is_opt)
+    save_trajectory(np.asarray(traj), paths["inversion"])
+
+    print("reconstruction:")
+    lat0 = pipe.reconstruct_latents(traj[-1], context, num_steps=args.time_steps)
+    video = np.asarray(pipe.decode_latents(lat0))
+    save_video(video, os.path.join(paths["reconstruction"], "style_video.mp4"), fps=8)
+    print(f"done -> {paths['base']}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pretrained_model_path", type=str, default=None)
+    p.add_argument("--style_path", type=str, default="examples/styles/00033.png")
+    p.add_argument("--output_path", type=str, default="results/styles-inv")
+    p.add_argument("--weight_dtype", type=str, default="bf16")
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--time_steps", type=int, default=50)
+    p.add_argument("--is_opt", action="store_true", help="use EasyInv")
+    p.add_argument("--seed", type=int, default=33)
+    p.add_argument("--variant", type=str, default="sd15", choices=["sd15", "sd21", "tiny"])
+    p.add_argument("--backbone", type=str, default="sd")
+    p.add_argument("--platform", type=str, default=None)
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

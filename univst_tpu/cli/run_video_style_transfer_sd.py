@@ -1,0 +1,91 @@
+"""Localized video style transfer CLI (SD backbone).
+
+Rebuild of src/sd/run_video_style_transfer_sd.py: loads both inversion
+trajectories, AdaIN-shifts the initial noise (pnp_utils.py latent_adain),
+runs the 3-branch stylization scan with optional localized masking, and writes
+per-frame PNGs to {out}/sd/{content}_{style}/."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from univst_tpu.cli.common import parse_dtype, setup_jax
+from univst_tpu.utils.io import load_mask, save_frames, seed_everything
+
+
+def main(args):
+    setup_jax(args.platform)
+    import jax.numpy as jnp
+
+    from univst_tpu.core.adain import latent_adain
+    from univst_tpu.core.config import StyleTransferConfig
+    from univst_tpu.core.trajectory import load_trajectory
+    from univst_tpu.pipelines.sd import SDVideoPipeline
+
+    if args.seed is not None:
+        seed_everything(args.seed)
+
+    pipe = SDVideoPipeline.build(
+        pretrained_model_path=args.pretrained_model_path,
+        variant=args.variant,
+        num_frames=args.num_frames,
+        height=args.height,
+        width=args.width,
+        dtype=parse_dtype(args.weight_dtype),
+        seed=args.seed or 0,
+    )
+
+    # trajectories ordered so index i holds latents at inversion step N-i
+    content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
+    style_rev = load_trajectory(args.style_inv_path, args.time_steps, reverse=True)
+
+    # init latent shift (run_video_style_transfer_sd.py:55-57)
+    init_latents = latent_adain(content_rev[0], style_rev[0])
+
+    mask = None
+    if args.mask_path:
+        mask = jnp.asarray(load_mask(args.mask_path, args.num_frames))
+
+    context = pipe.encode_text("")
+    context3 = jnp.concatenate([context, context, context], axis=0)
+
+    out = pipe.stylize_latents(
+        content_rev, style_rev, init_latents, context3, mask=mask,
+        cfg=StyleTransferConfig(num_steps=args.time_steps),
+    )
+    frames = np.asarray(pipe.decode_latents(out))
+
+    content_name = os.path.normpath(args.content_inv_path).split(os.sep)[-2]
+    style_name = os.path.normpath(args.style_inv_path).split(os.sep)[-2]
+    out_dir = os.path.join(args.output_path, args.backbone, f"{content_name}_{style_name}")
+    save_frames(frames, out_dir)
+    print(f"done -> {out_dir}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pretrained_model_path", type=str, default=None)
+    p.add_argument("--content_inv_path", type=str,
+                   default="results/contents-inv/sd/mallard-fly/inversion")
+    p.add_argument("--style_inv_path", type=str,
+                   default="results/styles-inv/sd/00033/inversion")
+    p.add_argument("--mask_path", type=str, default=None,
+                   help="directory of propagated per-frame masks; omit for full-frame transfer")
+    p.add_argument("--output_path", type=str, default="results/stylizations")
+    p.add_argument("--weight_dtype", type=str, default="bf16")
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--time_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=33)
+    p.add_argument("--variant", type=str, default="sd15", choices=["sd15", "sd21", "tiny"])
+    p.add_argument("--backbone", type=str, default="sd")
+    p.add_argument("--platform", type=str, default=None)
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

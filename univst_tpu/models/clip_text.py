@@ -60,9 +60,9 @@ class CLIPTextConfig:
 
     @staticmethod
     def tiny(**kw) -> "CLIPTextConfig":
+        # full vocab so the real BOS/EOS token ids (49406/49407) stay in range
         return CLIPTextConfig(
-            vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
-            intermediate_size=64, **kw
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64, **kw
         )
 
 
