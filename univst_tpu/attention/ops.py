@@ -150,8 +150,29 @@ def sdpa(q, k, v, scale: float | None = None):
     return out
 
 
+def _flash_eligible(tq: int, s: int, dh: int) -> bool:
+    """Use the Pallas TPU flash kernel for large sequences: the naive path
+    materializes [B, H, L, S] logits (26+ GB at 512px with the 3-branch
+    batch), flash streams KV blocks through VMEM instead."""
+    import os
+
+    if os.environ.get("UNIVST_DISABLE_FLASH"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    # the kernel requires head_dim <= 128 or a multiple of 128; the dh=160
+    # layers only occur at L <= 256 where naive logits are small anyway
+    if dh > 128 and dh % 128 != 0:
+        return False
+    return tq >= 256 and tq % 128 == 0 and s % 128 == 0
+
+
 def mha(q, k, v, num_heads: int, scale: float | None = None):
-    """Multi-head attention over pre-head ``[B, L, D]`` tensors; returns [B, L, D]."""
+    """Multi-head attention over pre-head ``[B, L, D]`` tensors; returns [B, L, D].
+
+    Dispatches to the Pallas TPU flash-attention kernel for the big spatial
+    attentions and to the fused-naive XLA path for short sequences (text
+    cross-attn KV=77, temporal attn over F frames)."""
     b, tq, d = q.shape
     dh = d // num_heads
     s = k.shape[1]
@@ -159,5 +180,15 @@ def mha(q, k, v, num_heads: int, scale: float | None = None):
     def split(x, t):
         return x.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
 
-    out = sdpa(split(q, tq), split(k, s), split(v, s), scale=scale)
+    qh, kh, vh = split(q, tq), split(k, s), split(v, s)
+    if _flash_eligible(tq, s, dh):
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        sm_scale = float(dh**-0.5 if scale is None else scale)
+        dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+        out = flash_attention(
+            qh.astype(dt), kh.astype(dt), vh.astype(dt), sm_scale=sm_scale
+        ).astype(q.dtype)
+    else:
+        out = sdpa(qh, kh, vh, scale=scale)
     return out.transpose(0, 2, 1, 3).reshape(b, tq, d)

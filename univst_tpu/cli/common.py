@@ -72,3 +72,29 @@ def load_feature_pt(path: str) -> np.ndarray:
     import torch
 
     return torch.load(path, weights_only=True, map_location="cpu").float().numpy()
+
+
+def build_pipeline_from_args(args, capture_up_block=None):
+    """Construct the right backbone pipeline from shared CLI flags."""
+    from univst_tpu.cli.common import parse_dtype as _pd
+
+    kw = dict(
+        pretrained_model_path=args.pretrained_model_path,
+        num_frames=args.num_frames,
+        height=args.height,
+        width=args.width,
+        dtype=_pd(args.weight_dtype),
+        capture_up_block=capture_up_block,
+        seed=args.seed or 0,
+    )
+    if args.backbone == "animatediff":
+        from univst_tpu.pipelines.animatediff import build_animatediff
+
+        return build_animatediff(
+            motion_module_path=getattr(args, "motion_module_path", None),
+            variant="tiny" if args.variant == "tiny" else "ad",
+            **kw,
+        )
+    from univst_tpu.pipelines.sd import SDVideoPipeline
+
+    return SDVideoPipeline.build(variant=args.variant, **kw)

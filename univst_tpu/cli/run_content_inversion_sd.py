@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-from univst_tpu.cli.common import make_output_tree, parse_dtype, save_feature_pt, setup_jax
+from univst_tpu.cli.common import build_pipeline_from_args, make_output_tree, save_feature_pt, setup_jax
 from univst_tpu.utils.io import load_video, save_video, seed_everything
 
 
@@ -28,21 +28,11 @@ def main(args):
     import jax.numpy as jnp
 
     from univst_tpu.core.trajectory import save_trajectory
-    from univst_tpu.pipelines.sd import SDVideoPipeline
-
+    
     if args.seed is not None:
         seed_everything(args.seed)
 
-    pipe = SDVideoPipeline.build(
-        pretrained_model_path=args.pretrained_model_path,
-        variant=args.variant,
-        num_frames=args.num_frames,
-        height=args.height,
-        width=args.width,
-        dtype=parse_dtype(args.weight_dtype),
-        capture_up_block=args.ft_indices,
-        seed=args.seed or 0,
-    )
+    pipe = build_pipeline_from_args(args, capture_up_block=args.ft_indices)
     name = os.path.basename(os.path.normpath(args.content_path)).split(".")[0]
     paths = make_output_tree(args.output_path, args.backbone, name)
 

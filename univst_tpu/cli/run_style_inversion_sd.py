@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-from univst_tpu.cli.common import make_output_tree, parse_dtype, setup_jax
+from univst_tpu.cli.common import build_pipeline_from_args, make_output_tree, setup_jax
 from univst_tpu.utils.io import load_style_image, save_video, seed_everything
 
 
@@ -21,20 +21,11 @@ def main(args):
     import jax
 
     from univst_tpu.core.trajectory import save_trajectory
-    from univst_tpu.pipelines.sd import SDVideoPipeline
-
+    
     if args.seed is not None:
         seed_everything(args.seed)
 
-    pipe = SDVideoPipeline.build(
-        pretrained_model_path=args.pretrained_model_path,
-        variant=args.variant,
-        num_frames=args.num_frames,
-        height=args.height,
-        width=args.width,
-        dtype=parse_dtype(args.weight_dtype),
-        seed=args.seed or 0,
-    )
+    pipe = build_pipeline_from_args(args)
     name = os.path.basename(args.style_path).split(".")[0]
     paths = make_output_tree(args.output_path, args.backbone, name)
 

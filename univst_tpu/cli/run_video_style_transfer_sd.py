@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-from univst_tpu.cli.common import parse_dtype, setup_jax
+from univst_tpu.cli.common import build_pipeline_from_args, setup_jax
 from univst_tpu.utils.io import load_mask, save_frames, seed_everything
 
 
@@ -23,27 +23,23 @@ def main(args):
     from univst_tpu.core.adain import latent_adain
     from univst_tpu.core.config import StyleTransferConfig
     from univst_tpu.core.trajectory import load_trajectory
-    from univst_tpu.pipelines.sd import SDVideoPipeline
-
+    
     if args.seed is not None:
         seed_everything(args.seed)
 
-    pipe = SDVideoPipeline.build(
-        pretrained_model_path=args.pretrained_model_path,
-        variant=args.variant,
-        num_frames=args.num_frames,
-        height=args.height,
-        width=args.width,
-        dtype=parse_dtype(args.weight_dtype),
-        seed=args.seed or 0,
-    )
+    pipe = build_pipeline_from_args(args)
 
     # trajectories ordered so index i holds latents at inversion step N-i
     content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
     style_rev = load_trajectory(args.style_inv_path, args.time_steps, reverse=True)
 
-    # init latent shift (run_video_style_transfer_sd.py:55-57)
-    init_latents = latent_adain(content_rev[0], style_rev[0])
+    # init latent shift (run_video_style_transfer_sd.py:55-57); the
+    # AnimateDiff runner passes the raw content noise instead
+    # (run_video_style_transfer_animatediff.py:59-69 — no latent_adain)
+    if args.backbone == "animatediff":
+        init_latents = content_rev[0]
+    else:
+        init_latents = latent_adain(content_rev[0], style_rev[0])
 
     mask = None
     if args.mask_path:

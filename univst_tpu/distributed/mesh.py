@@ -1,0 +1,58 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-GPU (SURVEY.md §2 preamble: no distributed
+init anywhere); parallel scaling here is an addition designed TPU-first:
+
+  * mesh axis ``data``: the frame axis (and the 3-branch x frame axis during
+    stylization) shards across chips. Sparse-causal attention only needs
+    frame 0 everywhere plus a +/-1 frame halo, so XLA lowers the cross-frame
+    gathers to one small all-gather + collective-permute over ICI rather than
+    full activation all-gathers.
+  * mesh axis ``tensor`` (optional): reserved for MMDiT tensor parallelism on
+    SD3.5-large; head-dim sharded attention + column/row-split MLPs.
+
+Everything goes through ``jax.jit`` with ``NamedSharding`` constraints; XLA's
+SPMD partitioner inserts the collectives (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_tensor: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a ('data', 'tensor') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_tensor
+    if n_data * n_tensor != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_tensor} does not cover {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_tensor)
+    return Mesh(arr, ("data", "tensor"))
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place an array with its leading (frame / branch*frame) axis sharded on
+    the data axis."""
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate parameters across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

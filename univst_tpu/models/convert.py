@@ -356,3 +356,96 @@ def _extra_paths(converted: Dict, init_params: Dict, path: str = ""):
         elif isinstance(v, dict) and isinstance(init_params[k], dict):
             extra.extend(_extra_paths(v, init_params[k], p))
     return extra
+
+
+# ---------------------------------------------------------------------------
+# AnimateDiff UNet (diffusers 2D base + motion-module checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _ad_resnet(b: _TreeBuilder, src: str, dst: str):
+    b.norm(f"{src}.norm1", f"{dst}/norm1")
+    b.conv2d(f"{src}.conv1", f"{dst}/conv1")
+    b.linear(f"{src}.time_emb_proj", f"{dst}/time_emb_proj")
+    b.norm(f"{src}.norm2", f"{dst}/norm2")
+    b.conv2d(f"{src}.conv2", f"{dst}/conv2")
+    if b.has(f"{src}.conv_shortcut.weight"):
+        b.conv2d(f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+
+
+def convert_ad_unet(state_dict: Mapping[str, np.ndarray], cfg) -> Dict:
+    """diffusers 2D UNet state_dict -> AnimateDiff Flax tree (flat names).
+
+    The motion-module parameters come from a separate checkpoint
+    (convert_motion_module); they keep their zero/identity init here —
+    reference from_pretrained_2d + load_weights split
+    (animatediff/utils/util.py:89-121)."""
+    b = _TreeBuilder(state_dict)
+    n = len(cfg.block_out_channels)
+    lin = cfg.use_linear_projection
+
+    b.conv2d("conv_in", "conv_in")
+    b.linear("time_embedding.linear_1", "time_embedding/linear_1")
+    b.linear("time_embedding.linear_2", "time_embedding/linear_2")
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            _ad_resnet(b, f"down_blocks.{i}.resnets.{j}", f"down_{i}_resnet_{j}")
+            if cfg.down_block_has_attn[i]:
+                _unet_transformer(
+                    b, f"down_blocks.{i}.attentions.{j}", f"down_{i}_attn_{j}", lin
+                )
+        if i < n - 1:
+            b.conv2d(f"down_blocks.{i}.downsamplers.0.conv", f"down_{i}_downsample")
+    _ad_resnet(b, "mid_block.resnets.0", "mid_resnet_0")
+    _ad_resnet(b, "mid_block.resnets.1", "mid_resnet_1")
+    _unet_transformer(b, "mid_block.attentions.0", "mid_attn_0", lin)
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            _ad_resnet(b, f"up_blocks.{i}.resnets.{j}", f"up_{i}_resnet_{j}")
+            if cfg.up_block_has_attn[i]:
+                _unet_transformer(b, f"up_blocks.{i}.attentions.{j}", f"up_{i}_attn_{j}", lin)
+        if i < n - 1:
+            b.conv2d(f"up_blocks.{i}.upsamplers.0.conv", f"up_{i}_upsample")
+    b.norm("conv_norm_out", "conv_norm_out")
+    b.conv2d("conv_out", "conv_out")
+    return b.finish()
+
+
+def convert_motion_module(state_dict: Mapping[str, np.ndarray], cfg) -> Dict:
+    """AnimateDiff motion-module ckpt (mm_sd_v15_v2-style keys) -> Flax tree.
+
+    Mirrors load_weights' zero-unexpected-keys assertion
+    (animatediff/utils/util.py:119-120): every motion_modules.* key must map.
+    """
+    b = _TreeBuilder({k: v for k, v in state_dict.items() if "motion_modules" in k})
+
+    def one(src: str, dst: str):
+        tt = f"{src}.temporal_transformer"
+        b.norm(f"{tt}.norm", f"{dst}/norm")
+        b.linear(f"{tt}.proj_in", f"{dst}/proj_in")
+        b.linear(f"{tt}.proj_out", f"{dst}/proj_out")
+        for blk in range(cfg.motion_num_blocks):
+            tb = f"{tt}.transformer_blocks.{blk}"
+            for a in range(cfg.motion_attention_layers):
+                ab = f"{tb}.attention_blocks.{a}"
+                b.linear(f"{ab}.to_q", f"{dst}/block_{blk}_attn_{a}/to_q", bias=False)
+                b.linear(f"{ab}.to_k", f"{dst}/block_{blk}_attn_{a}/to_k", bias=False)
+                b.linear(f"{ab}.to_v", f"{dst}/block_{blk}_attn_{a}/to_v", bias=False)
+                b.linear(f"{ab}.to_out.0", f"{dst}/block_{blk}_attn_{a}/to_out")
+                b.norm(f"{tb}.norms.{a}", f"{dst}/block_{blk}_norm_{a}")
+            b.linear(f"{tb}.ff.net.0.proj", f"{dst}/block_{blk}_ff/proj")
+            b.linear(f"{tb}.ff.net.2", f"{dst}/block_{blk}_ff/out")
+            b.norm(f"{tb}.ff_norm", f"{dst}/block_{blk}_ff_norm")
+
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            one(f"down_blocks.{i}.motion_modules.{j}", f"down_{i}_motion_{j}")
+        for j in range(cfg.layers_per_block + 1):
+            one(f"up_blocks.{i}.motion_modules.{j}", f"up_{i}_motion_{j}")
+    if cfg.motion_mid_block:
+        one("mid_block.motion_modules.0", "mid_motion")
+    # pos_encoder.pe buffers are non-persistent in the reference; tolerate them
+    return b.finish(allow_unused_prefixes=tuple(
+        k for k in b.src if k.endswith("pos_encoder.pe")
+    ))

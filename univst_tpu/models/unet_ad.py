@@ -1,0 +1,321 @@
+"""AnimateDiff-v2 UNet (Flax): per-frame 2D SD UNet + temporal motion modules.
+
+Rebuild of backbones/animatediff/models/{unet.py,unet_blocks.py,
+motion_module.py,attention.py,resnet.py}. Structural facts replicated:
+
+  * all convs/norms are per-frame 2D (InflatedConv3d / InflatedGroupNorm,
+    resnet.py:10-29) — no pseudo-3D temporal taps;
+  * spatial attn1 is plain per-frame self-attention
+    (unet_use_cross_frame_attention=False in animatediff-v2.yaml; and the PnP
+    patch receives clip_length=None from BasicTransformerBlock so cross-frame
+    KV expansion NEVER activates for this backbone, attention.py:344 +
+    pnp_utils.py:59) — temporal consistency comes from the motion modules;
+  * a VanillaTemporalModule follows each (resnet, attn) pair in down/up blocks
+    at every resolution and sits between attn and resnet1 in the mid block
+    (unet_blocks.py:271-277,385-390; animatediff-v2.yaml motion_module_*);
+  * each motion module: per-frame GroupNorm -> proj_in -> 1 transformer block
+    with two Temporal_Self attentions (sinusoidal positional encoding over the
+    frame axis, max_len 24) + GEGLU FF -> zero-init proj_out + residual
+    (motion_module.py:52-247).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from univst_tpu.attention.ops import apply_style_shift, mha
+from univst_tpu.models.layers import (
+    CrossAttention,
+    FeedForwardGEGLU,
+    GroupNorm,
+    StyleCtx,
+    TimestepEmbedMLP,
+    VideoCtx,
+    timestep_embedding,
+    upsample_nearest_2x,
+)
+from univst_tpu.models.unet_sd import PNP_UP_ATTENTIONS
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetADConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    num_heads: Tuple[int, ...] = (8, 8, 8, 8)
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    use_linear_projection: bool = False
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    up_block_has_attn: Tuple[bool, ...] = (False, True, True, True)
+    # motion module config (animatediff-v2.yaml:7-14)
+    motion_num_heads: int = 8
+    motion_num_blocks: int = 1
+    motion_attention_layers: int = 2  # ("Temporal_Self", "Temporal_Self")
+    motion_pe_max_len: int = 24
+    motion_mid_block: bool = True
+    capture_up_block: Optional[int] = None
+
+    @staticmethod
+    def ad_v2(**kw) -> "UNetADConfig":
+        return UNetADConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw) -> "UNetADConfig":
+        return UNetADConfig(
+            block_out_channels=(32, 64, 64, 64),
+            num_heads=(2, 2, 2, 2),
+            motion_num_heads=2,
+            cross_attention_dim=32,
+            norm_num_groups=8,
+            **kw,
+        )
+
+
+def _sinusoidal_pe(max_len: int, d_model: int) -> np.ndarray:
+    """Sinusoidal positions (motion_module.py PositionalEncoding:229-247)."""
+    position = np.arange(max_len)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2) * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class TemporalSelfAttentionPE(nn.Module):
+    """VersatileAttention 'Temporal_Self' (motion_module.py:250-337):
+    per-spatial-location attention over frames with additive sinusoidal PE."""
+
+    num_heads: int
+    pe_max_len: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int):
+        bf, l, d = x.shape
+        b = bf // num_frames
+        xt = x.reshape(b, num_frames, l, d).transpose(0, 2, 1, 3).reshape(
+            b * l, num_frames, d
+        )
+        pe = jnp.asarray(_sinusoidal_pe(self.pe_max_len, d))[:num_frames]
+        xt = xt + pe[None].astype(xt.dtype)
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(xt)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(xt)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(xt)
+        out = mha(q, k, v, self.num_heads)
+        out = nn.Dense(d, dtype=self.dtype, name="to_out")(out)
+        return out.reshape(b, l, num_frames, d).transpose(0, 2, 1, 3).reshape(bf, l, d)
+
+
+class MotionModule(nn.Module):
+    """VanillaTemporalModule -> TemporalTransformer3DModel
+    (motion_module.py:52-162)."""
+
+    cfg: UNetADConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_ctx: VideoCtx):
+        if not video_ctx.is_video:
+            return x
+        bf, hh, ww, c = x.shape
+        residual = x
+        h = GroupNorm(32, eps=1e-6, dtype=self.dtype, name="norm")(x)
+        tokens = h.reshape(bf, hh * ww, c)
+        tokens = nn.Dense(c, dtype=self.dtype, name="proj_in")(tokens)
+        for bi in range(self.cfg.motion_num_blocks):
+            for ai in range(self.cfg.motion_attention_layers):
+                hn = nn.LayerNorm(dtype=self.dtype, name=f"block_{bi}_norm_{ai}")(tokens)
+                tokens = tokens + TemporalSelfAttentionPE(
+                    self.cfg.motion_num_heads,
+                    self.cfg.motion_pe_max_len,
+                    dtype=self.dtype,
+                    name=f"block_{bi}_attn_{ai}",
+                )(hn, video_ctx.num_frames)
+            hn = nn.LayerNorm(dtype=self.dtype, name=f"block_{bi}_ff_norm")(tokens)
+            tokens = tokens + FeedForwardGEGLU(
+                c, dtype=self.dtype, name=f"block_{bi}_ff"
+            )(hn)
+        # zero-init so the motion module is identity before its ckpt loads
+        tokens = nn.Dense(
+            c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
+        )(tokens)
+        return tokens.reshape(bf, hh, ww, c) + residual
+
+
+class ADSelfAttention(nn.Module):
+    """Per-frame spatial self-attention with the (frame-local) PnP shift.
+
+    Unlike the SD backbone there is NO cross-frame KV expansion (see module
+    docstring); only the 3-branch AdaIN shift applies inside the window."""
+
+    num_heads: int
+    apply_pnp: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_ctx: VideoCtx, style_ctx: Optional[StyleCtx]):
+        d = x.shape[-1]
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        if self.apply_pnp and style_ctx is not None and style_ctx.cfg is not None:
+            q, k, v = apply_style_shift(
+                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
+            )
+        out = mha(q, k, v, self.num_heads)
+        return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
+
+
+class ADTransformerBlock(nn.Module):
+    num_heads: int
+    apply_pnp: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, video_ctx, style_ctx):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + ADSelfAttention(
+            self.num_heads, self.apply_pnp, dtype=self.dtype, name="attn1"
+        )(h, video_ctx, style_ctx)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForwardGEGLU(x.shape[-1], dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class ADTransformer(nn.Module):
+    num_heads: int
+    norm_num_groups: int
+    apply_pnp: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, video_ctx, style_ctx):
+        bf, hh, ww, c = x.shape
+        residual = x
+        h = GroupNorm(self.norm_num_groups, eps=1e-6, dtype=self.dtype, name="norm")(x)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
+        tokens = h.reshape(bf, hh * ww, c)
+        f = video_ctx.num_frames
+        ctx = jnp.repeat(context, f, axis=0) if context.shape[0] != bf else context
+        tokens = ADTransformerBlock(
+            self.num_heads, self.apply_pnp, dtype=self.dtype, name="block"
+        )(tokens, ctx, video_ctx, style_ctx)
+        h = tokens.reshape(bf, hh, ww, c)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class ADResnetBlock(nn.Module):
+    """Per-frame 2D resnet (InflatedConv3d + InflatedGroupNorm semantics)."""
+
+    out_channels: int
+    norm_num_groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, video_ctx: VideoCtx):
+        c_in = x.shape[-1]
+        h = GroupNorm(self.norm_num_groups, eps=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        t = jnp.repeat(t, video_ctx.num_frames, axis=0)
+        h = h + t[:, None, None, :]
+        h = GroupNorm(self.norm_num_groups, eps=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if c_in != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class UNetAnimateDiff(nn.Module):
+    """Full AnimateDiff UNet. Same call signature as UNetPseudo3D so the
+    method layer (inversion / stylization scans) is shared unchanged."""
+
+    cfg: UNetADConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timestep, context, video_ctx: VideoCtx,
+                 style_ctx: Optional[StyleCtx] = None):
+        cfg = self.cfg
+        ch0 = cfg.block_out_channels[0]
+        n_blocks = len(cfg.block_out_channels)
+        b = x.shape[0] // video_ctx.num_frames
+
+        t_emb = timestep_embedding(jnp.broadcast_to(jnp.asarray(timestep), (b,)), ch0)
+        temb = TimestepEmbedMLP(ch0 * 4, dtype=self.dtype, name="time_embedding")(
+            t_emb.astype(self.dtype)
+        )
+
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        skips = [x]
+        for bi in range(n_blocks):
+            ch = cfg.block_out_channels[bi]
+            for li in range(cfg.layers_per_block):
+                x = ADResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
+                                  name=f"down_{bi}_resnet_{li}")(x, temb, video_ctx)
+                if cfg.down_block_has_attn[bi]:
+                    x = ADTransformer(cfg.num_heads[bi], cfg.norm_num_groups, False,
+                                      dtype=self.dtype, name=f"down_{bi}_attn_{li}")(
+                        x, context, video_ctx, style_ctx)
+                x = MotionModule(cfg, dtype=self.dtype,
+                                 name=f"down_{bi}_motion_{li}")(x, video_ctx)
+                skips.append(x)
+            if bi < n_blocks - 1:
+                x = nn.Conv(ch, (3, 3), strides=2, padding=1, dtype=self.dtype,
+                            name=f"down_{bi}_downsample")(x)
+                skips.append(x)
+
+        chm = cfg.block_out_channels[-1]
+        x = ADResnetBlock(chm, cfg.norm_num_groups, dtype=self.dtype,
+                          name="mid_resnet_0")(x, temb, video_ctx)
+        x = ADTransformer(cfg.num_heads[-1], cfg.norm_num_groups, False,
+                          dtype=self.dtype, name="mid_attn_0")(
+            x, context, video_ctx, style_ctx)
+        if cfg.motion_mid_block:
+            x = MotionModule(cfg, dtype=self.dtype, name="mid_motion")(x, video_ctx)
+        x = ADResnetBlock(chm, cfg.norm_num_groups, dtype=self.dtype,
+                          name="mid_resnet_1")(x, temb, video_ctx)
+
+        captured = None
+        rev_ch = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(cfg.num_heads))
+        for bi in range(n_blocks):
+            for li in range(cfg.layers_per_block + 1):
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = ADResnetBlock(rev_ch[bi], cfg.norm_num_groups, dtype=self.dtype,
+                                  name=f"up_{bi}_resnet_{li}")(x, temb, video_ctx)
+                if cfg.up_block_has_attn[bi]:
+                    x = ADTransformer(
+                        rev_heads[bi], cfg.norm_num_groups,
+                        (bi, li) in PNP_UP_ATTENTIONS,
+                        dtype=self.dtype, name=f"up_{bi}_attn_{li}",
+                    )(x, context, video_ctx, style_ctx)
+                x = MotionModule(cfg, dtype=self.dtype,
+                                 name=f"up_{bi}_motion_{li}")(x, video_ctx)
+            if bi < n_blocks - 1:
+                x = upsample_nearest_2x(x)
+                x = nn.Conv(rev_ch[bi], (3, 3), padding=1, dtype=self.dtype,
+                            name=f"up_{bi}_upsample")(x)
+            if cfg.capture_up_block is not None and bi == cfg.capture_up_block:
+                f = video_ctx.num_frames
+                captured = x.reshape((b, f) + x.shape[1:])[0]
+
+        x = GroupNorm(cfg.norm_num_groups, eps=1e-5, dtype=self.dtype,
+                      name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(x)
+        return x, captured

@@ -1,0 +1,115 @@
+"""AnimateDiff-v2 pipeline builder (rebuild of AnimationPipeline wiring,
+backbones/animatediff/pipelines/pipeline_animation.py:50 + the runner model
+build, src/animatediff/run_content_inversion_animatediff.py:43-62).
+
+Reuses SDVideoPipeline wholesale — the stages and scans are backbone-agnostic;
+only the denoiser module, the DDIM beta schedule (plain 'linear',
+animatediff-v2.yaml:16-20), the shift constants, and the frame-index sets
+differ. AnimateDiff's spatial attention never sees cross-frame KV (see
+univst_tpu/models/unet_ad.py docstring), so both index sets are empty.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from univst_tpu.core.config import AD_STYLE_SHIFT
+from univst_tpu.core.scheduler import DDIMConfig, DDIMSchedule
+from univst_tpu.models import convert as cv
+from univst_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel, Tokenizer
+from univst_tpu.models.layers import VideoCtx
+from univst_tpu.models.unet_ad import UNetAnimateDiff, UNetADConfig
+from univst_tpu.models.vae import AutoencoderKL, VAEConfig
+from univst_tpu.pipelines.sd import SDVideoPipeline, _find_weights
+
+
+def build_animatediff(
+    pretrained_model_path: Optional[str] = None,
+    motion_module_path: Optional[str] = None,
+    variant: str = "ad",
+    num_frames: int = 16,
+    height: int = 512,
+    width: int = 512,
+    dtype=jnp.bfloat16,
+    capture_up_block: Optional[int] = None,
+    seed: int = 0,
+) -> SDVideoPipeline:
+    """Build the AnimateDiff pipeline: SD-1.5 2D base weights + motion ckpt
+    (reference load_weights, animatediff/utils/util.py:89-176)."""
+    if variant == "ad":
+        unet_cfg = UNetADConfig.ad_v2(capture_up_block=capture_up_block)
+        vae_cfg = VAEConfig.svd()
+        clip_cfg = CLIPTextConfig.sd15()
+    else:
+        unet_cfg = UNetADConfig.tiny(capture_up_block=capture_up_block)
+        vae_cfg = VAEConfig.tiny(temporal_decoder=True)
+        clip_cfg = CLIPTextConfig.tiny()
+
+    unet = UNetAnimateDiff(unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    text = CLIPTextModel(clip_cfg, dtype=dtype)
+
+    h8 = height // 8
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    vctx = VideoCtx(num_frames=num_frames, frame_indices=())
+    unet_params = jax.jit(unet.init, static_argnums=(4,))(
+        k1,
+        jnp.zeros((num_frames, h8, width // 8, unet_cfg.in_channels), dtype),
+        jnp.asarray(0),
+        jnp.zeros((1, 77, unet_cfg.cross_attention_dim), dtype),
+        vctx,
+    )["params"]
+    vae_params = jax.jit(vae.init, static_argnums=(2,))(
+        k2, jnp.zeros((num_frames, 64, 64, 3), dtype), num_frames
+    )["params"]
+    text_params = jax.jit(text.init)(k3, jnp.zeros((1, 77), jnp.int32))["params"]
+
+    tok_dir = None
+    if pretrained_model_path and os.path.isdir(
+        os.path.join(pretrained_model_path, "tokenizer")
+    ):
+        tok_dir = os.path.join(pretrained_model_path, "tokenizer")
+
+    if pretrained_model_path:
+        uw = _find_weights(os.path.join(pretrained_model_path, "unet"))
+        if uw:
+            unet_params = cv.merge_into_params(
+                unet_params, cv.convert_ad_unet(cv.load_torch_state_dict(uw), unet_cfg)
+            )
+        vw = _find_weights(os.path.join(pretrained_model_path, "vae"))
+        if vw:
+            vae_params = cv.merge_into_params(
+                vae_params, cv.convert_vae(cv.load_torch_state_dict(vw), vae_cfg)
+            )
+        tw = _find_weights(os.path.join(pretrained_model_path, "text_encoder"))
+        if tw:
+            text_params = cv.merge_into_params(
+                text_params, cv.convert_clip_text(cv.load_torch_state_dict(tw), clip_cfg)
+            )
+    if motion_module_path:
+        unet_params = cv.merge_into_params(
+            unet_params,
+            cv.convert_motion_module(cv.load_torch_state_dict(motion_module_path), unet_cfg),
+        )
+
+    return SDVideoPipeline(
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_encoder=text,
+        text_params=text_params,
+        tokenizer=Tokenizer(tok_dir),
+        schedule=DDIMSchedule(DDIMConfig(beta_schedule="linear")),
+        num_frames=num_frames,
+        dtype=dtype,
+        style_shift_cfg=AD_STYLE_SHIFT,
+        base_frame_indices=(),
+        pnp_frame_indices=(),
+    )

@@ -49,7 +49,11 @@ def _find_weights(dirpath: str) -> Optional[str]:
 
 @dataclasses.dataclass
 class SDVideoPipeline:
-    unet: UNetPseudo3D
+    """Also serves AnimateDiff via build_animatediff(): the two epsilon
+    backbones share every stage; only the denoiser module, DDIM beta schedule
+    (linear vs scaled_linear), shift constants and frame-index sets differ."""
+
+    unet: object  # UNetPseudo3D | UNetAnimateDiff (same call signature)
     unet_params: dict
     vae: AutoencoderKL
     vae_params: dict
@@ -59,6 +63,9 @@ class SDVideoPipeline:
     schedule: DDIMSchedule
     num_frames: int
     dtype: jnp.dtype = jnp.bfloat16
+    style_shift_cfg: StyleShiftConfig = SD_STYLE_SHIFT
+    base_frame_indices: tuple = SD_BASE_FRAME_INDICES
+    pnp_frame_indices: tuple = SD_PNP_FRAME_INDICES
 
     # -- construction --------------------------------------------------------
 
@@ -119,7 +126,7 @@ class SDVideoPipeline:
             vae_params = jax.jit(vae.init, static_argnums=(2,))(
                 k2, jnp.zeros((num_frames, 64, 64, 3), dtype), num_frames
             )["params"]
-            text_params = text.init(k3, jnp.zeros((1, 77), jnp.int32))["params"]
+            text_params = jax.jit(text.init)(k3, jnp.zeros((1, 77), jnp.int32))["params"]
 
         tok_dir = None
         if pretrained_model_path and os.path.isdir(
@@ -159,35 +166,26 @@ class SDVideoPipeline:
         )
 
     # -- stages ---------------------------------------------------------------
+    # Parameters always flow through jit as ARGUMENTS (never closed over):
+    # closure capture bakes the 1.7GB of weights into the HLO as constants.
 
     def encode_text(self, prompt: str):
         ids = jnp.asarray(self.tokenizer(prompt))
-        hidden, _ = self.text_encoder.apply({"params": self.text_params}, ids)
-        return hidden  # [1, 77, D]
+        return _encode_text(self, self.text_params, ids)
 
     def encode_frames(self, frames, key):
         """[F, H, W, 3] in [-1,1] -> sampled latents [F, h, w, 4] * scaling."""
-        mean, logvar = self.vae.apply(
-            {"params": self.vae_params},
-            jnp.asarray(frames, self.dtype),
-            method=AutoencoderKL.encode,
-        )
-        z = sample_latent(mean.astype(jnp.float32), logvar.astype(jnp.float32), key)
-        return z * self.vae.cfg.scaling_factor
+        return _encode_frames(self, self.vae_params, jnp.asarray(frames), key)
 
     def decode_latents(self, latents):
         """latents [F, h, w, 4] -> frames [F, H, W, 3] in [0, 1] (reference
         decode_latents, stable_diffusion.py:369-394)."""
-        z = (latents / self.vae.cfg.scaling_factor).astype(self.dtype)
-        px = self.vae.apply(
-            {"params": self.vae_params}, z, self.num_frames,
-            method=AutoencoderKL.decode,
-        )
-        return jnp.clip(px.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        return _decode_latents(self, self.vae_params, latents)
 
     # -- denoiser closures ----------------------------------------------------
 
-    def _denoise_fn(self, context, frame_indices, style_cfg: Optional[StyleShiftConfig]):
+    def _denoise_fn(self, unet_params, context, frame_indices,
+                    style_cfg: Optional[StyleShiftConfig]):
         vctx = VideoCtx(num_frames=self.num_frames, frame_indices=frame_indices)
 
         def denoise(latents, t, step_idx):
@@ -197,7 +195,7 @@ class SDVideoPipeline:
                 else None
             )
             eps, feat = self.unet.apply(
-                {"params": self.unet_params},
+                {"params": unet_params},
                 latents.astype(self.dtype),
                 t,
                 context.astype(self.dtype),
@@ -208,26 +206,20 @@ class SDVideoPipeline:
 
         return denoise
 
-    # -- top-level jitted workflows -------------------------------------------
+    # -- top-level workflows (jitted with params as args) ----------------------
 
-    @partial(jax.jit, static_argnames=("self", "num_steps", "is_opt", "capture_timestep"))
     def invert(self, latents, context, num_steps: int = 50, is_opt: bool = True,
                capture_timestep: Optional[int] = None):
         """Content/style inversion -> (trajectory [N+1,...], captured feature).
         (reference ddim_inversion, inversion_tools/ddim_inversion.py:71-84)"""
-        denoise = self._denoise_fn(context, SD_BASE_FRAME_INDICES, None)
-        return inv.ddim_invert(
-            denoise, latents.astype(jnp.float32), self.schedule, num_steps,
-            easyinv=EasyInvConfig() if is_opt else None,
-            capture_timestep=capture_timestep,
+        return _invert(
+            self, self.unet_params, latents, context, num_steps, is_opt,
+            capture_timestep,
         )
 
-    @partial(jax.jit, static_argnames=("self", "num_steps"))
     def reconstruct_latents(self, latents_T, context, num_steps: int = 50):
-        denoise = self._denoise_fn(context, SD_BASE_FRAME_INDICES, None)
-        return inv.ddim_sample(denoise, latents_T.astype(jnp.float32), self.schedule, num_steps)
+        return _reconstruct(self, self.unet_params, latents_T, context, num_steps)
 
-    @partial(jax.jit, static_argnames=("self", "cfg", "style_cfg"))
     def stylize_latents(
         self,
         content_traj_rev,
@@ -236,19 +228,14 @@ class SDVideoPipeline:
         context3,
         mask=None,
         cfg: StyleTransferConfig = StyleTransferConfig(),
-        style_cfg: StyleShiftConfig = SD_STYLE_SHIFT,
+        style_cfg: Optional[StyleShiftConfig] = None,
     ):
         """3-branch stylization (reference video_style_transfer,
         stable_diffusion.py:630-766)."""
-        denoise = self._denoise_fn(context3, SD_PNP_FRAME_INDICES, style_cfg)
-
-        def denoise3(x3, t, i):
-            eps, _ = denoise(x3, t, i)
-            return eps
-
-        return style_transfer_ddim(
-            denoise3, content_traj_rev, style_traj_rev,
-            init_latents.astype(jnp.float32), self.schedule, cfg, mask=mask,
+        return _stylize(
+            self, self.unet_params, content_traj_rev, style_traj_rev,
+            init_latents, context3, mask, cfg,
+            style_cfg if style_cfg is not None else self.style_shift_cfg,
         )
 
     def __hash__(self):  # allow use as a static jit argument
@@ -256,3 +243,58 @@ class SDVideoPipeline:
 
     def __eq__(self, other):
         return self is other
+
+
+@partial(jax.jit, static_argnames=("pipe",))
+def _encode_text(pipe, text_params, ids):
+    hidden, _ = pipe.text_encoder.apply({"params": text_params}, ids)
+    return hidden  # [1, 77, D]
+
+
+@partial(jax.jit, static_argnames=("pipe",))
+def _encode_frames(pipe, vae_params, frames, key):
+    mean, logvar = pipe.vae.apply(
+        {"params": vae_params}, frames.astype(pipe.dtype), method=AutoencoderKL.encode
+    )
+    z = sample_latent(mean.astype(jnp.float32), logvar.astype(jnp.float32), key)
+    return z * pipe.vae.cfg.scaling_factor
+
+
+@partial(jax.jit, static_argnames=("pipe",))
+def _decode_latents(pipe, vae_params, latents):
+    z = (latents / pipe.vae.cfg.scaling_factor).astype(pipe.dtype)
+    px = pipe.vae.apply(
+        {"params": vae_params}, z, pipe.num_frames, method=AutoencoderKL.decode
+    )
+    return jnp.clip(px.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("pipe", "num_steps", "is_opt", "capture_timestep"))
+def _invert(pipe, unet_params, latents, context, num_steps, is_opt, capture_timestep):
+    denoise = pipe._denoise_fn(unet_params, context, pipe.base_frame_indices, None)
+    return inv.ddim_invert(
+        denoise, latents.astype(jnp.float32), pipe.schedule, num_steps,
+        easyinv=EasyInvConfig() if is_opt else None,
+        capture_timestep=capture_timestep,
+    )
+
+
+@partial(jax.jit, static_argnames=("pipe", "num_steps"))
+def _reconstruct(pipe, unet_params, latents_T, context, num_steps):
+    denoise = pipe._denoise_fn(unet_params, context, pipe.base_frame_indices, None)
+    return inv.ddim_sample(denoise, latents_T.astype(jnp.float32), pipe.schedule, num_steps)
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
+def _stylize(pipe, unet_params, content_traj_rev, style_traj_rev, init_latents,
+             context3, mask, cfg, style_cfg):
+    denoise = pipe._denoise_fn(unet_params, context3, pipe.pnp_frame_indices, style_cfg)
+
+    def denoise3(x3, t, i):
+        eps, _ = denoise(x3, t, i)
+        return eps
+
+    return style_transfer_ddim(
+        denoise3, content_traj_rev, style_traj_rev,
+        init_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+    )
