@@ -1,0 +1,120 @@
+"""MMDiT tests: shapes, feature capture, style-shift branch isolation,
+cross-frame sensitivity, converter structure."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from univst_tpu.core.config import SD3_FRAME_INDICES, SD3_STYLE_SHIFT
+from univst_tpu.models.layers import StyleCtx, VideoCtx
+from univst_tpu.models.mmdit import MMDiT, MMDiTConfig
+
+F = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MMDiTConfig.tiny(capture_block=1)
+    model = MMDiT(cfg)
+    vctx = VideoCtx(num_frames=F, frame_indices=SD3_FRAME_INDICES)
+    x = jax.random.normal(jax.random.PRNGKey(0), (F, 8, 8, 16), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, cfg.joint_attention_dim), jnp.float32)
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_projection_dim), jnp.float32)
+    params = jax.jit(model.init, static_argnums=(5,))(
+        jax.random.PRNGKey(3), x, jnp.asarray(500.0), ctx, pooled, vctx
+    )
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def fwd(xx, cc, pp, t, vc, sc=None):
+        return model.apply(params, xx, t, cc, pp, vc, sc)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def fwd_styled(xx, cc, pp, step, vc):
+        return model.apply(
+            params, xx, jnp.asarray(500.0), cc, pp, vc,
+            StyleCtx(step_idx=step, cfg=SD3_STYLE_SHIFT),
+        )
+
+    return cfg, model, params, x, ctx, pooled, vctx, fwd, fwd_styled
+
+
+def test_shapes_and_capture(setup):
+    cfg, model, params, x, ctx, pooled, vctx, fwd, _ = setup
+    out, feat = fwd(x, ctx, pooled, jnp.asarray(500.0), vctx)
+    assert out.shape == x.shape
+    # capture: [F, h/p, w/p, hidden]
+    assert feat.shape == (F, 4, 4, cfg.hidden)
+
+
+def test_cross_frame_attention_is_active(setup):
+    """Unlike SD at init, MMDiT's video attention mixes frames immediately:
+    changing frame 3 must change frame 2's output (index -1 gather)."""
+    cfg, model, params, x, ctx, pooled, vctx, fwd, _ = setup
+    out1, _ = fwd(x, ctx, pooled, jnp.asarray(500.0), vctx)
+    x2 = x.at[3].set(x[3] * 2.0 + 1.0)
+    out2, _ = fwd(x2, ctx, pooled, jnp.asarray(500.0), vctx)
+    # frame 2 attends to frame 3?? no: indices ('first', -1, 0) -> frame 3's
+    # KV includes frame 2; frame 2's KV includes frame 1; changing frame 3
+    # changes only frame 3's output. Check frame-0 gather instead: changing
+    # frame 0 changes ALL frames ('first').
+    x3 = x.at[0].set(x[0] * 2.0 + 1.0)
+    out3, _ = fwd(x3, ctx, pooled, jnp.asarray(500.0), vctx)
+    assert np.abs(np.asarray(out3[2]) - np.asarray(out1[2])).max() > 1e-5
+    # and changing frame 3 does NOT change frame 1 (not in its index set)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(out1[1]), atol=1e-5)
+
+
+def test_style_branch_isolation(setup):
+    cfg, model, params, x, ctx, pooled, vctx, fwd, fwd_styled = setup
+    x3 = jnp.concatenate([x, x * 0.5, -x * 0.2], axis=0)
+    ctx3 = jnp.broadcast_to(ctx, (3,) + ctx.shape[1:])
+    p3 = jnp.broadcast_to(pooled, (3,) + pooled.shape[1:])
+    out_plain, _ = fwd(x3, ctx3, p3, jnp.asarray(500.0), vctx)
+    out_in, _ = fwd_styled(x3, ctx3, p3, jnp.asarray(10), vctx)  # in [0, 30]
+    out_out, _ = fwd_styled(x3, ctx3, p3, jnp.asarray(45), vctx)  # 45 > 30
+    out_plain, out_in, out_out = map(np.asarray, (out_plain, out_in, out_out))
+    np.testing.assert_allclose(out_in[: 2 * F], out_plain[: 2 * F], atol=0)
+    assert np.abs(out_in[2 * F :] - out_plain[2 * F :]).max() > 1e-5
+    np.testing.assert_allclose(out_out, out_plain, atol=0)
+
+
+def test_sd3_pipeline_tiny_roundtrip():
+    """Tiny SD3 pipeline: encode -> rf invert -> controlled reconstruct ->
+    decode, plus the stylize path (CPU shapes)."""
+    from univst_tpu.core.config import StyleTransferConfig
+    from univst_tpu.pipelines.sd3 import SD3VideoPipeline
+
+    pipe = SD3VideoPipeline.build(variant="tiny", num_frames=F, height=32, width=32,
+                              capture_block=1)
+    frames = np.random.default_rng(0).uniform(-1, 1, (F, 32, 32, 3)).astype(np.float32)
+    lat = pipe.encode_frames(frames, jax.random.PRNGKey(0))
+    assert lat.shape == (F, 16, 16, 16)
+    context, pooled = pipe.encode_prompt("")
+    assert context.shape[-1] == pipe.mmdit.cfg.joint_attention_dim
+    assert pooled.shape == (1, pipe.mmdit.cfg.pooled_projection_dim)
+
+    traj, feat = pipe.invert(lat, context, pooled, num_steps=4, capture_step=1)
+    assert traj.shape == (5,) + lat.shape
+    assert feat is not None
+
+    traj_s, _ = pipe.invert(lat, context, pooled, num_steps=4, is_rf_solver=True)
+    assert traj_s.shape == (5,) + lat.shape
+
+    back = pipe.reconstruct_latents(
+        traj[-1], lat, context, pooled, num_steps=4, start_step=1, end_step=3
+    )
+    px = np.asarray(pipe.decode_latents(back))
+    assert px.shape == (F, 32, 32, 3)
+    assert not np.isnan(px).any()
+
+    ctx3 = jnp.concatenate([context] * 3, axis=0)
+    p3 = jnp.concatenate([pooled] * 3, axis=0)
+    out = pipe.stylize_latents(
+        traj[::-1], traj[::-1], traj[-1], lat, ctx3, p3,
+        mask=jnp.ones((F, 32, 32), jnp.float32),
+        cfg=StyleTransferConfig(num_steps=4, eta_start_step=1, eta_end_step=3),
+    )
+    assert not np.isnan(np.asarray(out)).any()

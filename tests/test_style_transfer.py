@@ -96,3 +96,30 @@ def test_masked_region_tracks_content_trajectory():
     # trajectory; the final output = one DDIM step from the last blend
     want = _python_reference(content, style, init, sched, cfg, full_mask)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_smoother_path_runs():
+    """cfg.smoother='pixel' exercises the decode -> flow smooth -> re-encode
+    path (reference ships it disabled; we make it functional)."""
+    import jax
+    from univst_tpu.pipelines.sd import SDVideoPipeline
+
+    pipe = SDVideoPipeline.build(variant="tiny", num_frames=4, height=64, width=64)
+    rng = np.random.default_rng(0)
+    steps = 4
+    content = jnp.asarray(rng.standard_normal((steps + 1, 4, 32, 32, 4)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((steps + 1, 4, 32, 32, 4)), jnp.float32)
+    init = content[0]
+    ctx = pipe.encode_text("")
+    ctx3 = jnp.concatenate([ctx] * 3, axis=0)
+    cfg = StyleTransferConfig(num_steps=steps, smoother="pixel", smoother_steps=(1, 3),
+                              smoother_radius=1)
+    mask = jnp.asarray((rng.random((4, 64, 64)) > 0.5).astype(np.float32))
+    out = pipe.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    assert out.shape == (4, 32, 32, 4)
+    assert not np.isnan(np.asarray(out)).any()
+    # and differs from the unsmoothed run
+    out_plain = pipe.stylize_latents(
+        content, style, init, ctx3, mask=mask, cfg=StyleTransferConfig(num_steps=steps)
+    )
+    assert np.abs(np.asarray(out) - np.asarray(out_plain)).max() > 1e-6

@@ -72,6 +72,20 @@ def cross_frame_kv(x, num_frames: int, indices: Sequence[FrameIndex]):
     return out.reshape(bf, l * len(indices), d)
 
 
+def cross_frame_kv_heads(x, num_frames: int, indices: Sequence[FrameIndex]):
+    """Sparse-causal KV expansion on per-head ``[B*F, H, N, Dh]`` tensors
+    (the SD3 layout; reference sd3 pnp_utils.py:53-78 gathers after the
+    head split)."""
+    if not indices:
+        return x
+    bf, h, n, dh = x.shape
+    b = bf // num_frames
+    xv = x.reshape(b, num_frames, h, n, dh)
+    gathers = [xv[:, fi] for fi in resolve_frame_indices(indices, num_frames)]
+    out = jnp.concatenate(gathers, axis=3)
+    return out.reshape(bf, h, n * len(indices), dh)
+
+
 def apply_style_shift(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: int):
     """AdaIN-guided attention shift on pre-head ``[3F, L, D]`` tensors.
 

@@ -262,6 +262,19 @@ class FlowMatchSchedule:
         return out.astype(sample.dtype)
 
 
+def scale_eta_window(start_step: int, end_step: int, num_steps: int,
+                     base_steps: int = 50):
+    """Scale the reference's 50-step eta window constants (25/39,
+    flow_inversion.py:61-64) to other step counts, keeping a nonempty window."""
+    if num_steps == base_steps:
+        return start_step, end_step
+    s = int(round(start_step * num_steps / base_steps))
+    e = int(round(end_step * num_steps / base_steps))
+    s = max(0, min(s, num_steps - 1))
+    e = max(s + 1, min(e, num_steps))
+    return s, e
+
+
 def generate_eta_values(
     timesteps: Sequence[float],
     start_step: int,

@@ -34,6 +34,54 @@ def _resize_mask(mask, h: int, w: int):
     return m[..., None]
 
 
+def style_transfer_ddim_steps(
+    denoise3: Callable,
+    content_chunk,
+    style_chunk,
+    latents,
+    steps,
+    ts,
+    schedule: DDIMSchedule,
+    cfg: StyleTransferConfig,
+    mask=None,
+):
+    """Run a contiguous segment of the stylization loop (steps/ts arrays of
+    length K, trajectory chunks [K, F, h, w, C]).
+
+    Exists so the host can split the 50-step loop into segments: the remote
+    TPU tunnel enforces a ~2 min per-execution watchdog, and the full 3-branch
+    50-step scan exceeds it. One compiled graph serves every segment (same
+    shapes; the step indices are data)."""
+    n = cfg.num_steps
+    f, h, w, c = latents.shape
+    m = None if mask is None else _resize_mask(mask, h, w).astype(latents.dtype)
+
+    def step(latents, inputs):
+        i, t, cnt_t, sty_t = inputs
+        cnt_t = cnt_t.astype(latents.dtype)
+        sty_t = sty_t.astype(latents.dtype)
+        fi = i.astype(jnp.float32)
+        # localized latent blending, i <= 0.9 N (stable_diffusion.py:687-692)
+        if m is not None:
+            blended = (1.0 - m) * latents + m * cnt_t
+            latents = jnp.where(fi <= cfg.blend_hi * n, blended, latents)
+        # AdaIN re-anchor, 0.8 N < i <= 0.9 N (stable_diffusion.py:694-702)
+        anchored = latent_adain(latents, sty_t)
+        if m is not None:
+            anchored = (1.0 - m) * anchored + m * cnt_t
+        gate = jnp.logical_and(fi > cfg.adain_lo * n, fi <= cfg.adain_hi * n)
+        latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
+
+        x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
+        eps3 = denoise3(x3, t, i)
+        eps = eps3[2 * f :]
+        latents = schedule.step(eps, t, latents, n)
+        return latents, None
+
+    out, _ = jax.lax.scan(step, latents, (steps, ts, content_chunk, style_chunk))
+    return out
+
+
 def style_transfer_ddim(
     denoise3: Callable,
     content_traj_rev,
@@ -58,33 +106,62 @@ def style_transfer_ddim(
     """
     n = cfg.num_steps
     ts = jnp.asarray(schedule.timesteps(n).copy())
-    f, h, w, c = init_latents.shape
-    m = None if mask is None else _resize_mask(mask, h, w).astype(init_latents.dtype)
+    steps = jnp.arange(n)
+    return style_transfer_ddim_steps(
+        denoise3, content_traj_rev[:n], style_traj_rev[:n], init_latents,
+        steps, ts, schedule, cfg, mask=mask,
+    )
+
+
+def style_transfer_rf_steps(
+    denoise3: Callable,
+    content_chunk,
+    style_chunk,
+    latents,
+    steps,
+    s_curr,
+    s_next,
+    etas,
+    img_latents,
+    schedule: FlowMatchSchedule,
+    cfg: StyleTransferConfig,
+    mask=None,
+):
+    """Segment of the SD3 stylization loop (see style_transfer_ddim_steps for
+    why segments exist)."""
+    n = cfg.num_steps
+    f, h, w, c = latents.shape
+    m = None if mask is None else _resize_mask(mask, h, w).astype(latents.dtype)
+    target = img_latents.astype(jnp.float32)
+    scale = schedule.cfg.num_train_timesteps
 
     def step(latents, inputs):
-        i, t = inputs
-        cnt_t = content_traj_rev[i].astype(latents.dtype)
-        sty_t = style_traj_rev[i].astype(latents.dtype)
+        i, sc, sn, eta, cnt_t, sty_t = inputs
+        cnt_t = cnt_t.astype(latents.dtype)
+        sty_t = sty_t.astype(latents.dtype)
         fi = i.astype(jnp.float32)
-        # localized latent blending, i <= 0.9 N (stable_diffusion.py:687-692)
         if m is not None:
             blended = (1.0 - m) * latents + m * cnt_t
             latents = jnp.where(fi <= cfg.blend_hi * n, blended, latents)
-        # AdaIN re-anchor, 0.8 N < i <= 0.9 N (stable_diffusion.py:694-702)
-        anchored = latent_adain(latents, sty_t)
+        anchored = latent_adain_sd3(latents, sty_t)
         if m is not None:
             anchored = (1.0 - m) * anchored + m * cnt_t
-        gate = jnp.logical_and(fi > cfg.adain_lo * n, fi <= cfg.adain_hi * n)
+        # SD3 window is inclusive on both ends (custom_pipeline.py:295)
+        gate = jnp.logical_and(fi >= cfg.adain_lo * n, fi <= cfg.adain_hi * n)
         latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
 
         x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
-        eps3 = denoise3(x3, t, i)
-        eps = eps3[2 * f :]
-        latents = schedule.step(eps, t, latents, n)
+        v3 = denoise3(x3, sc * scale, i)
+        v = v3[2 * f :].astype(jnp.float32)
+        x32 = latents.astype(jnp.float32)
+        v_target = -(target - x32) / sc
+        v = v + eta * (v_target - v)
+        latents = (x32 + (sn - sc) * v).astype(latents.dtype)
         return latents, None
 
-    steps = jnp.arange(n)
-    out, _ = jax.lax.scan(step, init_latents, (steps, ts))
+    out, _ = jax.lax.scan(
+        step, latents, (steps, s_curr, s_next, etas, content_chunk, style_chunk)
+    )
     return out
 
 
@@ -108,37 +185,9 @@ def style_transfer_rf(
     """
     n = cfg.num_steps
     sigmas = jnp.asarray(schedule.sigmas(n, mu=mu))
-    s_curr, s_next = sigmas[:-1], sigmas[1:]
-    etas = jnp.asarray(eta_values, jnp.float32)
-    f, h, w, c = init_latents.shape
-    m = None if mask is None else _resize_mask(mask, h, w).astype(init_latents.dtype)
-    target = img_latents.astype(jnp.float32)
-    scale = schedule.cfg.num_train_timesteps
-
-    def step(latents, inputs):
-        i, sc, sn = inputs
-        cnt_t = content_traj_rev[i].astype(latents.dtype)
-        sty_t = style_traj_rev[i].astype(latents.dtype)
-        fi = i.astype(jnp.float32)
-        if m is not None:
-            blended = (1.0 - m) * latents + m * cnt_t
-            latents = jnp.where(fi <= cfg.blend_hi * n, blended, latents)
-        anchored = latent_adain_sd3(latents, sty_t)
-        if m is not None:
-            anchored = (1.0 - m) * anchored + m * cnt_t
-        # SD3 window is inclusive on both ends (custom_pipeline.py:295)
-        gate = jnp.logical_and(fi >= cfg.adain_lo * n, fi <= cfg.adain_hi * n)
-        latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
-
-        x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
-        v3 = denoise3(x3, sc * scale, i)
-        v = v3[2 * f :].astype(jnp.float32)
-        x32 = latents.astype(jnp.float32)
-        v_target = -(target - x32) / sc
-        v = v + etas[i] * (v_target - v)
-        latents = (x32 + (sn - sc) * v).astype(latents.dtype)
-        return latents, None
-
-    steps = jnp.arange(n)
-    out, _ = jax.lax.scan(step, init_latents, (steps, s_curr, s_next))
-    return out
+    return style_transfer_rf_steps(
+        denoise3, content_traj_rev[:n], style_traj_rev[:n], init_latents,
+        jnp.arange(n), sigmas[:-1], sigmas[1:],
+        jnp.asarray(eta_values, jnp.float32), img_latents, schedule, cfg,
+        mask=mask,
+    )

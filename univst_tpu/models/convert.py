@@ -449,3 +449,86 @@ def convert_motion_module(state_dict: Mapping[str, np.ndarray], cfg) -> Dict:
     return b.finish(allow_unused_prefixes=tuple(
         k for k in b.src if k.endswith("pos_encoder.pe")
     ))
+
+
+# ---------------------------------------------------------------------------
+# SD3 MMDiT (diffusers SD3Transformer2DModel checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def convert_mmdit(state_dict: Mapping[str, np.ndarray], cfg) -> Dict:
+    """diffusers SD3Transformer2DModel -> Flax MMDiT tree.
+
+    The positional embedding is recomputed (fixed sin-cos) rather than loaded;
+    diffusers persists it as pos_embed.pos_embed, tolerated below."""
+    b = _TreeBuilder(state_dict)
+
+    # patchify conv (p x p, stride p) == Dense over (p, p, C)-flattened patches
+    w = b.take("pos_embed.proj.weight")  # [D, C, p, p]
+    d_out = w.shape[0]
+    k = np.transpose(w, (2, 3, 1, 0)).reshape(-1, d_out)
+    b.put("patch_proj/kernel", np.ascontiguousarray(k))
+    b.put("patch_proj/bias", b.take("pos_embed.proj.bias"))
+
+    b.linear("time_text_embed.timestep_embedder.linear_1", "timestep_embedder/linear_1")
+    b.linear("time_text_embed.timestep_embedder.linear_2", "timestep_embedder/linear_2")
+    b.linear("time_text_embed.text_embedder.linear_1", "text_embedder/linear_1")
+    b.linear("time_text_embed.text_embedder.linear_2", "text_embedder/linear_2")
+    b.linear("context_embedder", "context_embedder")
+
+    for i in range(cfg.num_layers):
+        s = f"transformer_blocks.{i}"
+        d = f"block_{i}"
+        pre_only = i == cfg.num_layers - 1
+        b.linear(f"{s}.norm1.linear", f"{d}/norm1/linear")
+        b.linear(f"{s}.norm1_context.linear", f"{d}/norm1_context/linear")
+        a_s, a_d = f"{s}.attn", f"{d}/attn"
+        for p in ("to_q", "to_k", "to_v"):
+            b.linear(f"{a_s}.{p}", f"{a_d}/{p}")
+        for p in ("add_q_proj", "add_k_proj", "add_v_proj"):
+            b.linear(f"{a_s}.{p}", f"{a_d}/{p}")
+        b.linear(f"{a_s}.to_out.0", f"{a_d}/to_out")
+        if not pre_only:
+            b.linear(f"{a_s}.to_add_out", f"{a_d}/to_add_out")
+        if cfg.qk_norm == "rms":
+            for src, dst in (("norm_q", "norm_q"), ("norm_k", "norm_k"),
+                             ("norm_added_q", "norm_added_q"),
+                             ("norm_added_k", "norm_added_k")):
+                b.put(f"{a_d}/{dst}/scale", b.take(f"{a_s}.{src}.weight"))
+        b.linear(f"{s}.ff.net.0.proj", f"{d}/ff/fc1")
+        b.linear(f"{s}.ff.net.2", f"{d}/ff/fc2")
+        if not pre_only:
+            b.linear(f"{s}.ff_context.net.0.proj", f"{d}/ff_context/fc1")
+            b.linear(f"{s}.ff_context.net.2", f"{d}/ff_context/fc2")
+
+    b.linear("norm_out.linear", "norm_out_linear")
+    b.linear("proj_out", "proj_out")
+    return b.finish(allow_unused_prefixes=("pos_embed.pos_embed",))
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (HF T5EncoderModel checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def convert_t5(state_dict: Mapping[str, np.ndarray], cfg) -> Dict:
+    b = _TreeBuilder(state_dict)
+    emb = b.take("shared.weight") if b.has("shared.weight") else b.take(
+        "encoder.embed_tokens.weight"
+    )
+    b.put("token_embedding/embedding", emb)
+    b.put(
+        "rel_bias",
+        b.take("encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"),
+    )
+    for i in range(cfg.num_layers):
+        s = f"encoder.block.{i}"
+        for src, dst in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "o")):
+            b.linear(f"{s}.layer.0.SelfAttention.{src}", f"layer_{i}_{dst}", bias=False)
+        b.put(f"layer_{i}_norm_attn/scale", b.take(f"{s}.layer.0.layer_norm.weight"))
+        b.linear(f"{s}.layer.1.DenseReluDense.wi_0", f"layer_{i}_wi0", bias=False)
+        b.linear(f"{s}.layer.1.DenseReluDense.wi_1", f"layer_{i}_wi1", bias=False)
+        b.linear(f"{s}.layer.1.DenseReluDense.wo", f"layer_{i}_wo", bias=False)
+        b.put(f"layer_{i}_norm_ff/scale", b.take(f"{s}.layer.1.layer_norm.weight"))
+    b.put("final_norm/scale", b.take("encoder.final_layer_norm.weight"))
+    return b.finish(allow_unused_prefixes=("encoder.embed_tokens.weight", "shared.weight"))

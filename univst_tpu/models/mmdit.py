@@ -1,0 +1,297 @@
+"""SD3 / SD3.5 MMDiT in Flax with native video (cross-frame) attention.
+
+Rebuild of the model the reference drives through diffusers
+(CustomSD3Transformer2DModel, backbones/video_diffusion_sd3/models/
+transformer_3D_model.py:12-113) plus the video attention processors
+(backbones/video_diffusion_sd3/pnp_utils.py:9-271). Key structural facts:
+
+  * patchify (p=2) + fixed 2D sin-cos positional embedding (center-cropped
+    from a pos_embed_max_size grid);
+  * joint transformer blocks: AdaLayerNormZero on both streams, joint
+    attention over [image tokens || context tokens] (image first), gated
+    residuals, gelu-tanh MLPs; the last block is context_pre_only;
+  * video support lives entirely in attention: image-token K/V are expanded
+    with sparse-causal frame gathers ('first', -1, 0; clip_length=16 hardcoded
+    in the reference, sd3 pnp_utils.py:26-27) after the q/k norms, and the
+    3-branch AdaIN shift applies per-head before the expansion — both are
+    explicit function arguments here instead of swapped attention processors;
+  * feature capture: hidden tokens after block ``capture_block`` reshaped to
+    [F, h/p, w/p, D] (transformer_3D_model.py:76-83).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univst_tpu.attention.ops import (
+    apply_style_shift_sd3,
+    cross_frame_kv_heads,
+    sdpa,
+)
+from univst_tpu.core.config import SD3_FRAME_INDICES
+from univst_tpu.models.layers import StyleCtx, TimestepEmbedMLP, VideoCtx, timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    patch_size: int = 2
+    in_channels: int = 16
+    out_channels: int = 16
+    num_layers: int = 24
+    num_heads: int = 24
+    head_dim: int = 64
+    joint_attention_dim: int = 4096  # context input width (T5 / padded CLIP)
+    pooled_projection_dim: int = 2048
+    pos_embed_max_size: int = 192
+    qk_norm: Optional[str] = None  # None (SD3.0) | 'rms' (SD3.5)
+    capture_block: Optional[int] = None
+
+    @property
+    def hidden(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @staticmethod
+    def sd3_medium(**kw) -> "MMDiTConfig":
+        return MMDiTConfig(**kw)
+
+    @staticmethod
+    def sd35_large(**kw) -> "MMDiTConfig":
+        return MMDiTConfig(num_layers=38, num_heads=38, qk_norm="rms", **kw)
+
+    @staticmethod
+    def tiny(**kw) -> "MMDiTConfig":
+        return MMDiTConfig(
+            num_layers=2, num_heads=2, head_dim=16, joint_attention_dim=64,
+            pooled_projection_dim=32, pos_embed_max_size=16, **kw
+        )
+
+
+def sincos_pos_embed_2d(dim: int, grid_h: int, grid_w: int) -> np.ndarray:
+    """Fixed 2D sin-cos positional embedding (diffusers get_2d_sincos_pos_embed)."""
+    def one_axis(d, pos):
+        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gh = np.arange(grid_h, dtype=np.float64)
+    gw = np.arange(grid_w, dtype=np.float64)
+    grid = np.meshgrid(gw, gh)  # w first, matching diffusers
+    emb_h = one_axis(dim // 2, grid[1])
+    emb_w = one_axis(dim // 2, grid[0])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (xf * scale).astype(x.dtype)
+
+
+class AdaLNZero(nn.Module):
+    """silu(temb) -> Linear -> n_chunks modulation vectors.
+
+    diffusers zero-inits this linear (gates = 0 => inert blocks); real
+    checkpoints overwrite it, so we use a small random init instead to keep
+    random-weight tests/benches structurally live (same FLOPs either way)."""
+
+    n_chunks: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, temb, dim):
+        mod = nn.Dense(
+            self.n_chunks * dim, kernel_init=nn.initializers.normal(0.02),
+            dtype=self.dtype, name="linear",
+        )(nn.silu(temb))
+        return jnp.split(mod[:, None, :], self.n_chunks, axis=-1)
+
+
+def _ln(x):
+    """LayerNorm without affine params, eps 1e-6 (diffusers block norms)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+class GeluMLP(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+
+
+class JointAttention(nn.Module):
+    """Joint attention over image+context tokens with video semantics."""
+
+    cfg: MMDiTConfig
+    context_pre_only: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, video_ctx: VideoCtx, style_ctx: Optional[StyleCtx]):
+        c = self.cfg
+        d = c.hidden
+        bf, n, _ = x.shape
+        nctx = ctx.shape[1]
+
+        def split(y):
+            return y.reshape(bf, -1, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        q = split(nn.Dense(d, dtype=self.dtype, name="to_q")(x))
+        k = split(nn.Dense(d, dtype=self.dtype, name="to_k")(x))
+        v = split(nn.Dense(d, dtype=self.dtype, name="to_v")(x))
+        if c.qk_norm == "rms":
+            q = RMSNorm(dtype=self.dtype, name="norm_q")(q)
+            k = RMSNorm(dtype=self.dtype, name="norm_k")(k)
+
+        # 3-branch AdaIN shift on the image-token q/k/v (sd3 pnp_utils.py:181-194)
+        if style_ctx is not None and style_ctx.cfg is not None:
+            q, k, v = apply_style_shift_sd3(
+                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
+            )
+        # sparse-causal cross-frame KV expansion (sd3 pnp_utils.py:53-78)
+        if video_ctx.is_video and video_ctx.frame_indices:
+            k = cross_frame_kv_heads(k, video_ctx.num_frames, video_ctx.frame_indices)
+            v = cross_frame_kv_heads(v, video_ctx.num_frames, video_ctx.frame_indices)
+
+        cq = split(nn.Dense(d, dtype=self.dtype, name="add_q_proj")(ctx))
+        ck = split(nn.Dense(d, dtype=self.dtype, name="add_k_proj")(ctx))
+        cv = split(nn.Dense(d, dtype=self.dtype, name="add_v_proj")(ctx))
+        if c.qk_norm == "rms":
+            cq = RMSNorm(dtype=self.dtype, name="norm_added_q")(cq)
+            ck = RMSNorm(dtype=self.dtype, name="norm_added_k")(ck)
+
+        q = jnp.concatenate([q, cq], axis=2)
+        k = jnp.concatenate([k, ck], axis=2)
+        v = jnp.concatenate([v, cv], axis=2)
+        out = sdpa(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
+        x_out, ctx_out = out[:, :n], out[:, n:]
+        x_out = nn.Dense(d, dtype=self.dtype, name="to_out")(x_out)
+        if self.context_pre_only:
+            return x_out, None
+        ctx_out = nn.Dense(d, dtype=self.dtype, name="to_add_out")(ctx_out)
+        return x_out, ctx_out
+
+
+class JointBlock(nn.Module):
+    cfg: MMDiTConfig
+    context_pre_only: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, temb, video_ctx, style_ctx):
+        d = self.cfg.hidden
+        sm, scm, gm, smlp, sclp, gmlp = AdaLNZero(6, self.dtype, name="norm1")(temb, d)
+        xh = _ln(x) * (1 + scm) + sm
+        if self.context_pre_only:
+            # AdaLayerNormContinuous chunk order is (scale, shift)
+            css, cs = AdaLNZero(2, self.dtype, name="norm1_context")(temb, d)
+            ch = _ln(ctx) * (1 + css) + cs
+            cgm = cglp = csmlp = csclp = None
+        else:
+            cs, css, cgm, csmlp, csclp, cglp = AdaLNZero(6, self.dtype, name="norm1_context")(
+                temb, d
+            )
+            ch = _ln(ctx) * (1 + css) + cs
+        attn_x, attn_c = JointAttention(
+            self.cfg, self.context_pre_only, dtype=self.dtype, name="attn"
+        )(xh, ch, video_ctx, style_ctx)
+        x = x + gm * attn_x
+        h = _ln(x) * (1 + sclp) + smlp
+        x = x + gmlp * GeluMLP(d, dtype=self.dtype, name="ff")(h)
+        if self.context_pre_only:
+            return x, None
+        ctx = ctx + cgm * attn_c
+        h = _ln(ctx) * (1 + csclp) + csmlp
+        ctx = ctx + cglp * GeluMLP(d, dtype=self.dtype, name="ff_context")(h)
+        return x, ctx
+
+
+class MMDiT(nn.Module):
+    """Full model. __call__:
+      x: [B*F, h, w, C] latents; timestep: scalar or [B*F];
+      context: [B, L, joint_attention_dim]; pooled: [B, pooled_dim].
+    Returns (velocity prediction [B*F, h, w, C], captured feature or None).
+    """
+
+    cfg: MMDiTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timestep, context, pooled, video_ctx: VideoCtx,
+                 style_ctx: Optional[StyleCtx] = None):
+        c = self.cfg
+        d = c.hidden
+        p = c.patch_size
+        bf, hh, ww, ch_in = x.shape
+        gh, gw = hh // p, ww // p
+
+        # patchify: [B*F, gh, gw, p*p*C] -> Dense == Conv(p, stride p)
+        patches = x.reshape(bf, gh, p, gw, p, ch_in).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(bf, gh * gw, p * p * ch_in)
+        tokens = nn.Dense(d, dtype=self.dtype, name="patch_proj")(patches)
+        # center-cropped fixed sin-cos positional embedding
+        full = sincos_pos_embed_2d(d, c.pos_embed_max_size, c.pos_embed_max_size)
+        full = full.reshape(c.pos_embed_max_size, c.pos_embed_max_size, d)
+        top = (c.pos_embed_max_size - gh) // 2
+        left = (c.pos_embed_max_size - gw) // 2
+        pos = jnp.asarray(full[top : top + gh, left : left + gw].reshape(1, gh * gw, d))
+        tokens = tokens + pos.astype(tokens.dtype)
+
+        # combined timestep + pooled-text embedding
+        t = jnp.broadcast_to(jnp.asarray(timestep), (bf,))
+        t_emb = timestep_embedding(t, 256).astype(self.dtype)
+        temb = TimestepEmbedMLP(d, dtype=self.dtype, name="timestep_embedder")(t_emb)
+        f = video_ctx.num_frames
+        pooled_r = jnp.repeat(pooled, f, axis=0) if pooled.shape[0] != bf else pooled
+        temb = temb + TimestepEmbedMLP(d, dtype=self.dtype, name="text_embedder")(
+            pooled_r.astype(self.dtype)
+        )
+
+        ctx = nn.Dense(d, dtype=self.dtype, name="context_embedder")(
+            (jnp.repeat(context, f, axis=0) if context.shape[0] != bf else context
+             ).astype(self.dtype)
+        )
+
+        captured = None
+        for i in range(c.num_layers):
+            pre_only = i == c.num_layers - 1
+            tokens, ctx = JointBlock(
+                c, pre_only, dtype=self.dtype, name=f"block_{i}"
+            )(tokens, ctx, temb, video_ctx, style_ctx)
+            if c.capture_block is not None and i == c.capture_block:
+                # reference saves hidden.view(B, h/2, w/2, -1)
+                # (transformer_3D_model.py:82) — frames are the batch here
+                captured = tokens.reshape(bf, gh, gw, d)
+
+        # AdaLayerNormContinuous output head (chunk order: scale, shift)
+        mod = nn.Dense(
+            2 * d, kernel_init=nn.initializers.normal(0.02), dtype=self.dtype,
+            name="norm_out_linear",
+        )(nn.silu(temb))
+        scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+        tokens = _ln(tokens) * (1 + scale) + shift
+        out = nn.Dense(p * p * c.out_channels, dtype=self.dtype, name="proj_out")(tokens)
+        # unpatchify
+        out = out.reshape(bf, gh, gw, p, p, c.out_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(bf, gh * p, gw * p, c.out_channels)
+        return out, captured

@@ -31,7 +31,7 @@ from univst_tpu.core.config import (
 )
 from univst_tpu.core.scheduler import DDIMConfig, DDIMSchedule, EasyInvConfig
 from univst_tpu.methods import inversion as inv
-from univst_tpu.methods.style_transfer import style_transfer_ddim
+from univst_tpu.methods.style_transfer import style_transfer_ddim_steps
 from univst_tpu.models import convert as cv
 from univst_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel, Tokenizer
 from univst_tpu.models.layers import StyleCtx, VideoCtx
@@ -208,17 +208,51 @@ class SDVideoPipeline:
 
     # -- top-level workflows (jitted with params as args) ----------------------
 
+    def _exec_chunk(self, num_steps: int) -> int:
+        """Largest divisor of num_steps <= UNIVST_EXEC_CHUNK (TPU tunnel
+        watchdog, see stylize_latents docstring); full loop elsewhere."""
+        chunk = int(os.environ.get("UNIVST_EXEC_CHUNK", "10"))
+        if jax.default_backend() not in ("tpu", "axon"):
+            chunk = num_steps
+        return max(d for d in range(1, min(chunk, num_steps) + 1) if num_steps % d == 0)
+
     def invert(self, latents, context, num_steps: int = 50, is_opt: bool = True,
                capture_timestep: Optional[int] = None):
         """Content/style inversion -> (trajectory [N+1,...], captured feature).
         (reference ddim_inversion, inversion_tools/ddim_inversion.py:71-84)"""
-        return _invert(
-            self, self.unet_params, latents, context, num_steps, is_opt,
-            capture_timestep,
-        )
+        chunk = self._exec_chunk(num_steps)
+        ts = jnp.asarray(self.schedule.timesteps(num_steps)[::-1].copy())
+        steps = jnp.arange(num_steps)
+        latents = latents.astype(jnp.float32)
+        captured = None
+        if capture_timestep is not None and self.unet.cfg.capture_up_block is not None:
+            denoise = self._denoise_fn(
+                self.unet_params, context, self.base_frame_indices, None
+            )
+            feat = jax.eval_shape(lambda l: denoise(l, ts[0], 0)[1], latents)
+            captured = jnp.zeros(feat.shape, feat.dtype)
+        carry = (latents, latents, captured)
+        chunks = []
+        for s0 in range(0, num_steps, chunk):
+            carry, traj = _invert_segment(
+                self, self.unet_params, carry, steps[s0 : s0 + chunk],
+                ts[s0 : s0 + chunk], context, num_steps, is_opt, capture_timestep,
+            )
+            chunks.append(traj)
+        trajectory = jnp.concatenate([latents[None]] + chunks, axis=0)
+        return trajectory, carry[2]
 
     def reconstruct_latents(self, latents_T, context, num_steps: int = 50):
-        return _reconstruct(self, self.unet_params, latents_T, context, num_steps)
+        chunk = self._exec_chunk(num_steps)
+        ts = jnp.asarray(self.schedule.timesteps(num_steps).copy())
+        steps = jnp.arange(num_steps)
+        latent = latents_T.astype(jnp.float32)
+        for s0 in range(0, num_steps, chunk):
+            latent = _reconstruct_segment(
+                self, self.unet_params, latent, steps[s0 : s0 + chunk],
+                ts[s0 : s0 + chunk], context, num_steps,
+            )
+        return latent
 
     def stylize_latents(
         self,
@@ -231,12 +265,49 @@ class SDVideoPipeline:
         style_cfg: Optional[StyleShiftConfig] = None,
     ):
         """3-branch stylization (reference video_style_transfer,
-        stable_diffusion.py:630-766)."""
-        return _stylize(
-            self, self.unet_params, content_traj_rev, style_traj_rev,
-            init_latents, context3, mask, cfg,
-            style_cfg if style_cfg is not None else self.style_shift_cfg,
-        )
+        stable_diffusion.py:630-766).
+
+        The loop executes in host-driven segments (UNIVST_EXEC_CHUNK steps,
+        default 10): the remote-TPU tunnel enforces a ~2 minute per-execution
+        watchdog and the full 50-step 3-branch scan exceeds it. All segments
+        share one compiled graph (step indices are data, shapes equal)."""
+        scfg = style_cfg if style_cfg is not None else self.style_shift_cfg
+        n = cfg.num_steps
+        chunk = self._exec_chunk(n)
+        ts_full = jnp.asarray(self.schedule.timesteps(n).copy())
+        steps_full = jnp.arange(n)
+        latents = init_latents.astype(jnp.float32)
+        smooth_lo, smooth_hi = cfg.smoother_steps
+        for s0 in range(0, n, chunk):
+            seg = range(s0, s0 + chunk)
+            if cfg.smoother == "pixel" and any(
+                smooth_lo <= i < smooth_hi for i in seg
+            ):
+                # run this segment step-by-step; smoother steps get the
+                # decode -> flow-warp-average -> re-encode treatment
+                # (reference stable_diffusion.py:716-758, shipped disabled)
+                for i in seg:
+                    if smooth_lo <= i < smooth_hi:
+                        latents = _stylize_smooth_step(
+                            self, self.unet_params, self.vae_params,
+                            content_traj_rev[i], style_traj_rev[i], latents,
+                            steps_full[i], ts_full[i], context3, mask, cfg, scfg,
+                        )
+                    else:
+                        latents = _stylize_chunk(
+                            self, self.unet_params,
+                            content_traj_rev[i : i + 1], style_traj_rev[i : i + 1],
+                            latents, steps_full[i : i + 1], ts_full[i : i + 1],
+                            context3, mask, cfg, scfg,
+                        )
+            else:
+                latents = _stylize_chunk(
+                    self, self.unet_params,
+                    content_traj_rev[s0 : s0 + chunk], style_traj_rev[s0 : s0 + chunk],
+                    latents, steps_full[s0 : s0 + chunk], ts_full[s0 : s0 + chunk],
+                    context3, mask, cfg, scfg,
+                )
+        return latents
 
     def __hash__(self):  # allow use as a static jit argument
         return id(self)
@@ -270,31 +341,82 @@ def _decode_latents(pipe, vae_params, latents):
 
 
 @partial(jax.jit, static_argnames=("pipe", "num_steps", "is_opt", "capture_timestep"))
-def _invert(pipe, unet_params, latents, context, num_steps, is_opt, capture_timestep):
+def _invert_segment(pipe, unet_params, carry, steps, ts, context, num_steps,
+                    is_opt, capture_timestep):
     denoise = pipe._denoise_fn(unet_params, context, pipe.base_frame_indices, None)
-    return inv.ddim_invert(
-        denoise, latents.astype(jnp.float32), pipe.schedule, num_steps,
+    return inv.ddim_invert_segment(
+        denoise, carry, steps, ts, pipe.schedule, num_steps,
         easyinv=EasyInvConfig() if is_opt else None,
         capture_timestep=capture_timestep,
     )
 
 
 @partial(jax.jit, static_argnames=("pipe", "num_steps"))
-def _reconstruct(pipe, unet_params, latents_T, context, num_steps):
+def _reconstruct_segment(pipe, unet_params, latent, steps, ts, context, num_steps):
     denoise = pipe._denoise_fn(unet_params, context, pipe.base_frame_indices, None)
-    return inv.ddim_sample(denoise, latents_T.astype(jnp.float32), pipe.schedule, num_steps)
+    return inv.ddim_sample_segment(denoise, latent, steps, ts, pipe.schedule, num_steps)
 
 
 @partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
-def _stylize(pipe, unet_params, content_traj_rev, style_traj_rev, init_latents,
-             context3, mask, cfg, style_cfg):
+def _stylize_smooth_step(pipe, unet_params, vae_params, cnt_t, sty_t, latents,
+                         i, t, context3, mask, cfg, style_cfg):
+    """One stylization step with sliding-window pixel smoothing
+    (reference stable_diffusion.py:713-758): predict eps, estimate x0, decode,
+    flow-warp-average a +/-r window per frame, keep the masked object region,
+    re-encode (posterior mean), convert back to eps via return_to_timestep,
+    then the ordinary DDIM step."""
+    from univst_tpu.core.adain import latent_adain
+    from univst_tpu.methods.flow import sliding_window_smooth
+    from univst_tpu.methods.style_transfer import _resize_mask
+
+    n = cfg.num_steps
+    f, h, w, c = latents.shape
+    m = None if mask is None else _resize_mask(mask, h, w).astype(latents.dtype)
+    fi = i.astype(jnp.float32)
+    cnt_t = cnt_t.astype(latents.dtype)
+    sty_t = sty_t.astype(latents.dtype)
+    if m is not None:
+        blended = (1.0 - m) * latents + m * cnt_t
+        latents = jnp.where(fi <= cfg.blend_hi * n, blended, latents)
+    anchored = latent_adain(latents, sty_t)
+    if m is not None:
+        anchored = (1.0 - m) * anchored + m * cnt_t
+    gate = jnp.logical_and(fi > cfg.adain_lo * n, fi <= cfg.adain_hi * n)
+    latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
+
+    denoise = pipe._denoise_fn(unet_params, context3, pipe.pnp_frame_indices, style_cfg)
+    eps3, _ = denoise(jnp.concatenate([cnt_t, sty_t, latents], axis=0), t, i)
+    eps = eps3[2 * f :]
+
+    x0 = pipe.schedule.pred_original(eps, t, latents)
+    px = pipe.vae.apply(
+        {"params": vae_params}, (x0 / pipe.vae.cfg.scaling_factor).astype(pipe.dtype),
+        pipe.num_frames, method=AutoencoderKL.decode,
+    )
+    px = jnp.clip(px.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+    px = sliding_window_smooth(
+        px, radius=cfg.smoother_radius,
+        mask=None if mask is None else mask.astype(jnp.float32),
+    )
+    mean, _ = pipe.vae.apply(
+        {"params": vae_params}, (px * 2.0 - 1.0).astype(pipe.dtype),
+        method=AutoencoderKL.encode,
+    )
+    x0_s = mean.astype(jnp.float32) * pipe.vae.cfg.scaling_factor
+    eps = pipe.schedule.return_to_timestep(t, latents, x0_s)
+    return pipe.schedule.step(eps, t, latents, n)
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
+def _stylize_chunk(pipe, unet_params, content_chunk, style_chunk, latents,
+                   steps, ts, context3, mask, cfg, style_cfg):
     denoise = pipe._denoise_fn(unet_params, context3, pipe.pnp_frame_indices, style_cfg)
 
     def denoise3(x3, t, i):
         eps, _ = denoise(x3, t, i)
         return eps
 
-    return style_transfer_ddim(
-        denoise3, content_traj_rev, style_traj_rev,
-        init_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+    return style_transfer_ddim_steps(
+        denoise3, content_chunk, style_chunk, latents.astype(jnp.float32),
+        steps, ts, pipe.schedule, cfg, mask=mask,
     )
