@@ -124,3 +124,33 @@ def test_motion_module_converter(setup):
     )
     # motion module no longer identity after load
     assert np.abs(np.asarray(merged["mid_motion"]["proj_out"]["kernel"])).max() > 0
+
+
+def test_sparse_controlnet_residuals(setup):
+    """Zero-init ControlNet is an exact no-op on the UNet; scaling its
+    projections changes the output (C20 wiring)."""
+    from univst_tpu.models.sparse_controlnet import (
+        SparseControlNet, SparseControlNetConfig,
+    )
+
+    cfg, model, params, x, ctx, vctx, fwd, fwd_styled = setup
+    ccfg = SparseControlNetConfig.tiny()
+    cnet = SparseControlNet(ccfg)
+    cond = jax.random.normal(jax.random.PRNGKey(5), (F, 32, 32, 3), jnp.float32)
+    cmask = jnp.ones((F, 16, 16, 1), jnp.float32)
+    cparams = cnet.init(jax.random.PRNGKey(6), x, jnp.asarray(301), ctx, cond,
+                        cmask, vctx)
+    down, mid = cnet.apply(cparams, x, jnp.asarray(301), ctx, cond, cmask, vctx)
+    assert len(down) == 12 and mid.shape[-1] == cfg.block_out_channels[-1]
+    out_ctrl, _ = model.apply(
+        params, x, jnp.asarray(301), ctx, vctx, None, (down, mid)
+    )
+    out_plain, _ = model.apply(params, x, jnp.asarray(301), ctx, vctx, None)
+    # zero-init projections -> exact no-op
+    np.testing.assert_allclose(np.asarray(out_ctrl), np.asarray(out_plain), atol=0)
+    # nonzero residuals propagate
+    down2 = tuple(d + 0.1 for d in down)
+    out2, _ = model.apply(
+        params, x, jnp.asarray(301), ctx, vctx, None, (down2, mid + 0.1)
+    )
+    assert np.abs(np.asarray(out2) - np.asarray(out_plain)).max() > 1e-4

@@ -248,7 +248,8 @@ class UNetAnimateDiff(nn.Module):
 
     @nn.compact
     def __call__(self, x, timestep, context, video_ctx: VideoCtx,
-                 style_ctx: Optional[StyleCtx] = None):
+                 style_ctx: Optional[StyleCtx] = None,
+                 controlnet_residuals=None):
         cfg = self.cfg
         ch0 = cfg.block_out_channels[0]
         n_blocks = len(cfg.block_out_channels)
@@ -288,6 +289,14 @@ class UNetAnimateDiff(nn.Module):
             x = MotionModule(cfg, dtype=self.dtype, name="mid_motion")(x, video_ctx)
         x = ADResnetBlock(chm, cfg.norm_num_groups, dtype=self.dtype,
                           name="mid_resnet_1")(x, temb, video_ctx)
+
+        # SparseControlNet residuals: additive on every skip + the mid state
+        # (reference AnimationPipeline controlnet path / diffusers ControlNet)
+        if controlnet_residuals is not None:
+            down_res, mid_res = controlnet_residuals
+            assert len(down_res) == len(skips), (len(down_res), len(skips))
+            skips = [s_ + r for s_, r in zip(skips, down_res)]
+            x = x + mid_res
 
         captured = None
         rev_ch = list(reversed(cfg.block_out_channels))
