@@ -124,3 +124,22 @@ def test_rf_solver_more_accurate_than_euler():
     err_euler = abs(float(traj_euler[-1].ravel()[0]) - exact)
     err_mid = abs(float(traj_mid[-1].ravel()[0]) - exact)
     assert err_mid < err_euler / 10
+
+
+def test_easyinv_fixed_point_iterations():
+    """num_fix_itr > 0 runs extra denoiser evaluations at the target point
+    (reference scaffold, ddim_inversion.py:146-154; shipped with 0 iters)."""
+    from univst_tpu.core.scheduler import EasyInvConfig
+
+    sched = DDIMSchedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 4, 2), jnp.float32)
+    calls = []
+
+    def denoise(latent, t, i):
+        calls.append(1)
+        return latent * 0.05, None
+
+    base, _ = ddim_invert(denoise, x0, sched, N, easyinv=EasyInvConfig(num_fix_itr=0))
+    fixed, _ = ddim_invert(denoise, x0, sched, N, easyinv=EasyInvConfig(num_fix_itr=2))
+    # latent-dependent eps -> refinement changes the trajectory
+    assert np.abs(np.asarray(fixed[-1]) - np.asarray(base[-1])).max() > 0

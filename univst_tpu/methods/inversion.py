@@ -66,6 +66,15 @@ def ddim_invert_segment(
             gate = easyinv.blend_gate(i, num_steps)
             blended = easyinv.or_latent_idx * latent + (1.0 - easyinv.or_latent_idx) * last_latent
             latent = jnp.where(gate, blended, latent)
+            # fixed-point refinement of eps at the target point (statically
+            # unrolled; the reference scaffold runs with num_fix_itr=0,
+            # ddim_inversion.py:146-154)
+            last_eps = eps
+            for fix_itr in range(easyinv.num_fix_itr):
+                probe_eps = eps if fix_itr == 0 else (eps + last_eps) / 2.0
+                latents_tmp = schedule.next_step(probe_eps, t, latent, num_steps)
+                last_eps = eps
+                eps, _ = denoise(latents_tmp, t, i)
         new_last = latent
         latent = schedule.next_step(eps, t, latent, num_steps)
         if feat is not None and capture_timestep is not None:
