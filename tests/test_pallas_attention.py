@@ -1,0 +1,42 @@
+"""Correctness test for the fused video flash attention kernel (interpret
+mode on CPU) vs a naive expanded-KV reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from univst_tpu.attention.ops import resolve_frame_indices
+from univst_tpu.attention.pallas_attention import video_flash_attention
+
+
+def _naive(q, k, v, indices):
+    b, f, h, l, dh = q.shape
+    maps = resolve_frame_indices(indices, f)
+    outs = np.zeros_like(np.asarray(q), dtype=np.float32)
+    qn, kn, vn = map(np.asarray, (q, k, v))
+    for bi in range(b):
+        for fi in range(f):
+            ks = np.concatenate([kn[bi, m[fi]] for m in maps], axis=1)  # [h, S*l, dh]
+            vs = np.concatenate([vn[bi, m[fi]] for m in maps], axis=1)
+            for hi in range(h):
+                logits = qn[bi, fi, hi] @ ks[hi].T * (dh**-0.5)
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                outs[bi, fi, hi] = p @ vs[hi]
+    return outs
+
+
+@pytest.mark.parametrize("indices", [(-1, "first"), ("first", -1, 0)])
+def test_video_flash_matches_naive(indices):
+    rng = np.random.default_rng(0)
+    b, f, h, l, dh = 1, 4, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
+    got = np.asarray(
+        video_flash_attention(q, k, v, indices, block_q=128, block_k=128,
+                              interpret=True)
+    )
+    want = _naive(q, k, v, indices)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -196,12 +196,26 @@ def mha(q, k, v, num_heads: int, scale: float | None = None):
 
     qh, kh, vh = split(q, tq), split(k, s), split(v, s)
     if _flash_eligible(tq, s, dh):
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
 
+        # Tuned on v5e for the SD video shapes (L=4096/S=8192, dh=40):
+        # the library defaults run ~7x slower at small head_dim.
+        bq = min(1024, tq)
+        bkm = min(1024, s)
+        bk = min(512, s)
+        bs = BlockSizes(
+            block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bkm, block_k_dkv=bk,
+            block_q_dkv=bq, block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
+        )
         sm_scale = float(dh**-0.5 if scale is None else scale)
         dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
         out = flash_attention(
-            qh.astype(dt), kh.astype(dt), vh.astype(dt), sm_scale=sm_scale
+            qh.astype(dt), kh.astype(dt), vh.astype(dt), sm_scale=sm_scale,
+            block_sizes=bs,
         ).astype(q.dtype)
     else:
         out = sdpa(qh, kh, vh, scale=scale)

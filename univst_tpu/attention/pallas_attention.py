@@ -1,0 +1,157 @@
+"""Fused sparse-causal video flash attention (Pallas TPU kernel).
+
+The reference expands K/V by gathering frames ('first', -1, 0 ...) and
+concatenating along tokens before SDPA (video_diffusion_sd/pnp_utils.py:59-84)
+— at 512px that materializes a 2-3x copy of every K/V tensor per layer. This
+kernel instead reads the UNEXPANDED per-frame K/V blocks directly via
+scalar-prefetched index maps: the gather becomes block addressing, the softmax
+runs online over the per-source KV streams, and no expanded tensor ever exists.
+
+Layout:
+  q, k, v: [B, F, H, L, dh]   (dh padded to a multiple of 128 by the wrapper)
+  frame_srcs: int32 [F, S]    resolved source frame per (target frame, slot)
+  out: [B, F, H, L, dh]
+
+Grid: (B*F*H, L/bq, S*L/bk) — the kv axis covers every source slot's token
+blocks; flash accumulators live in VMEM scratch across the kv axis and the
+output block is written on the last kv step (the standard TPU flash pattern,
+see jax.experimental.pallas.ops.tpu.flash_attention).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from univst_tpu.attention.ops import resolve_frame_indices
+
+_NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch
+    srcs_ref,  # [F, S] int32
+    # inputs (blocked)
+    q_ref,     # [1, bq, dh]
+    k_ref,     # [1, bk, dh]
+    v_ref,     # [1, bk, dh]
+    # outputs
+    o_ref,     # [1, bq, dh]
+    # scratch
+    m_ref,     # [bq, 128] running max
+    l_ref,     # [bq, 128] running sum
+    acc_ref,   # [bq, dh] accumulator
+    *,
+    sm_scale: float,
+    kv_steps: int,
+):
+    ikv = pl.program_id(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # [bq, bk]
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ikv == kv_steps - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def video_flash_attention(
+    q, k, v, frame_indices: Sequence, sm_scale: float | None = None,
+    block_q: int = 1024, block_k: int = 1024, interpret: bool = False,
+):
+    """Attention where each frame's KV is the concat of the frames selected by
+    ``frame_indices`` — computed WITHOUT materializing the expanded KV.
+
+    Args:
+      q, k, v: ``[B, F, H, L, dh]``.
+      frame_indices: static sparse-causal index set (e.g. ``(-1, 'first')``).
+    Returns ``[B, F, H, L, dh]``.
+    """
+    b, f, h, l, dh = q.shape
+    if sm_scale is None:
+        sm_scale = dh**-0.5
+    # pad head_dim to the TPU lane width
+    dh_pad = max(128, ((dh + 127) // 128) * 128)
+    if dh_pad != dh:
+        pad = ((0, 0),) * 4 + ((0, dh_pad - dh),)
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    bq = min(block_q, l)
+    bk = min(block_k, l)
+    nq = l // bq
+    nk = l // bk
+    srcs = np.stack(resolve_frame_indices(tuple(frame_indices), f), axis=1)  # [F, S]
+    s_slots = srcs.shape[1]
+    kv_steps = s_slots * nk
+
+    qv = q.reshape(b * f * h, l, dh_pad)
+    kv_shape = (b, f, h, l, dh_pad)
+
+    def q_map(ibfh, iq, ikv, srcs_ref):
+        return (ibfh, iq, 0)
+
+    def kv_map(ibfh, iq, ikv, srcs_ref):
+        fh = ibfh % (f * h)
+        tgt_f = fh // h
+        hh = fh % h
+        bb = ibfh // (f * h)
+        slot = ikv // nk
+        src_f = srcs_ref[tgt_f, slot]
+        return (bb * f * h + src_f * h + hh, ikv % nk, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * f * h, nq, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, bq, dh_pad), q_map),
+            pl.BlockSpec((1, bk, dh_pad), kv_map),
+            pl.BlockSpec((1, bk, dh_pad), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dh_pad), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dh_pad), jnp.float32),
+        ],
+    )
+    kern = functools.partial(_kernel, sm_scale=float(sm_scale), kv_steps=kv_steps)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * f * h, l, dh_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(srcs, jnp.int32), qv,
+      k.reshape(b * f * h, l, dh_pad), v.reshape(b * f * h, l, dh_pad))
+    out = out.reshape(b, f, h, l, dh_pad)
+    return out[..., :dh] if dh_pad != dh else out

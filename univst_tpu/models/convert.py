@@ -214,10 +214,11 @@ def _vae_resnet(b: _TreeBuilder, src: str, dst: str):
 
 def _vae_temporal_resnet(b: _TreeBuilder, src: str, dst: str):
     b.norm(f"{src}.norm1", f"{dst}/norm1")
-    # temporal convs are (3,1,1) Conv3d in torch: [out, in, 3, 1, 1]
+    # temporal convs are (3,1,1) Conv3d in torch: [out, in, 3, 1, 1] ->
+    # our (3, 1) conv kernels [3, 1, in, out]
     for conv in ("conv1", "conv2"):
         w = b.take(f"{src}.{conv}.weight")[:, :, :, 0, 0]  # [out, in, 3]
-        b.put(f"{dst}/{conv}/kernel", _conv1d(w))
+        b.put(f"{dst}/{conv}/kernel", _conv1d(w)[:, None])
         b.put(f"{dst}/{conv}/bias", b.take(f"{src}.{conv}.bias"))
     b.norm(f"{src}.norm2", f"{dst}/norm2")
     if b.has(f"{src}.conv_shortcut.weight"):
@@ -276,7 +277,7 @@ def convert_vae(state_dict: Mapping[str, np.ndarray], cfg: VAEConfig) -> Dict:
     b.conv2d("decoder.conv_out", "decoder/conv_out")
     if temporal:
         w = b.take("decoder.time_conv_out.weight")[:, :, :, 0, 0]
-        b.put("decoder/time_conv_out/kernel", _conv1d(w))
+        b.put("decoder/time_conv_out/kernel", _conv1d(w)[:, None])
         b.put("decoder/time_conv_out/bias", b.take("decoder.time_conv_out.bias"))
     else:
         b.conv2d("post_quant_conv", "decoder/post_quant_conv")

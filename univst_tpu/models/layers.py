@@ -204,16 +204,25 @@ class TemporalSelfAttention(nn.Module):
     def __call__(self, x, num_frames: int):
         bf, l, d = x.shape
         b = bf // num_frames
-        # (b f) l d -> (b l) f d
-        xt = x.reshape(b, num_frames, l, d).transpose(0, 2, 1, 3).reshape(b * l, num_frames, d)
-        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(xt)
-        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(xt)
-        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(xt)
-        out = mha(q, k, v, self.num_heads)
-        out = nn.Dense(
+        f = num_frames
+        dh = d // self.num_heads
+        # projections on the [B*F, L, D] layout (no physical transpose);
+        # the frame-axis attention runs as a (b, l, h)-batched einsum
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        qh = q.reshape(b, f, l, self.num_heads, dh)
+        kh = k.reshape(b, f, l, self.num_heads, dh)
+        vh = v.reshape(b, f, l, self.num_heads, dh)
+        logits = jnp.einsum(
+            "bflhd,bglhd->blhfg", qh, kh, preferred_element_type=jnp.float32
+        ) * (dh**-0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("blhfg,bglhd->bflhd", probs, vh)
+        out = out.reshape(bf, l, d)
+        return nn.Dense(
             d, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out"
         )(out)
-        return out.reshape(b, l, num_frames, d).transpose(0, 2, 1, 3).reshape(bf, l, d)
 
 
 class PseudoConv3d(nn.Module):
@@ -247,23 +256,27 @@ class PseudoConv3d(nn.Module):
         f = video_ctx.num_frames
         bf, h, w, c = x.shape
         b = bf // f
-        # (b f) h w c -> (b h w) f c : Conv1d over frames, identity at init
-        xt = x.reshape(b, f, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        # Conv1d over frames as a (ks, 1) conv on [B, F, H*W, C]: the reshape
+        # of contiguous axes is free, unlike the (b h w) f c transpose which
+        # physically relayouts the tensor twice per conv.
+        xt = x.reshape(b, f, h * w, c)
 
         def dirac_init(key, shape, dtype=jnp.float32):
-            # shape = (ks, in, out); identity tap at the center
+            # shape = (ks, 1, in, out); identity tap at the center
             kernel = jnp.zeros(shape, dtype)
-            return kernel.at[shape[0] // 2].set(jnp.eye(shape[1], shape[2], dtype=dtype))
+            return kernel.at[shape[0] // 2, 0].set(
+                jnp.eye(shape[2], shape[3], dtype=dtype)
+            )
 
         xt = nn.Conv(
             c,
-            (ks,),
-            padding=[(ks // 2, ks // 2)],
+            (ks, 1),
+            padding=[(ks // 2, ks // 2), (0, 0)],
             kernel_init=dirac_init,
             dtype=self.dtype,
             name="temporal",
         )(xt)
-        return xt.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4).reshape(bf, h, w, c)
+        return xt.reshape(bf, h, w, c)
 
 
 def upsample_nearest_2x(x):

@@ -26,6 +26,7 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,17 +102,25 @@ class TemporalSelfAttentionPE(nn.Module):
     def __call__(self, x, num_frames: int):
         bf, l, d = x.shape
         b = bf // num_frames
-        xt = x.reshape(b, num_frames, l, d).transpose(0, 2, 1, 3).reshape(
-            b * l, num_frames, d
-        )
-        pe = jnp.asarray(_sinusoidal_pe(self.pe_max_len, d))[:num_frames]
-        xt = xt + pe[None].astype(xt.dtype)
+        f = num_frames
+        dh = d // self.num_heads
+        pe = jnp.asarray(_sinusoidal_pe(self.pe_max_len, d))[:f]
+        # PE over the frame axis; frame attention as a (b, l, h)-batched
+        # einsum on the native layout (no physical transposes)
+        xt = x.reshape(b, f, l, d) + pe[None, :, None, :].astype(x.dtype)
+        xt = xt.reshape(bf, l, d)
         q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(xt)
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(xt)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(xt)
-        out = mha(q, k, v, self.num_heads)
-        out = nn.Dense(d, dtype=self.dtype, name="to_out")(out)
-        return out.reshape(b, l, num_frames, d).transpose(0, 2, 1, 3).reshape(bf, l, d)
+        qh = q.reshape(b, f, l, self.num_heads, dh)
+        kh = k.reshape(b, f, l, self.num_heads, dh)
+        vh = v.reshape(b, f, l, self.num_heads, dh)
+        logits = jnp.einsum(
+            "bflhd,bglhd->blhfg", qh, kh, preferred_element_type=jnp.float32
+        ) * (dh**-0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("blhfg,bglhd->bflhd", probs, vh).reshape(bf, l, d)
+        return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
 
 
 class MotionModule(nn.Module):

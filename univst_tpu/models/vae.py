@@ -83,33 +83,27 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, num_frames: int):
-        # [F, H, W, C] -> [(H W), F, C] for temporal 1D convs
+        # frame-axis convs as (3, 1) convs on the free [B, F, H*W, C] view
+        # (contiguous reshape, no physical transposes)
         f = num_frames
         bf, hh, ww, c = x.shape
         b = bf // f
 
         def to_t(y):
-            return y.reshape(b, f, hh, ww, -1).transpose(0, 2, 3, 1, 4).reshape(
-                b * hh * ww, f, y.shape[-1]
-            )
+            return y.reshape(b, f, hh * ww, y.shape[-1])
 
         def from_t(y):
-            cc = y.shape[-1]
-            return y.reshape(b, hh, ww, f, cc).transpose(0, 3, 1, 2, 4).reshape(
-                b * f, hh, ww, cc
-            )
+            return y.reshape(b * f, hh, ww, y.shape[-1])
 
         h = GroupNorm(self.groups, eps=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype, name="conv1")(
-            to_t(h)
-        )
+        h = nn.Conv(self.out_channels, (3, 1), padding=[(1, 1), (0, 0)],
+                    dtype=self.dtype, name="conv1")(to_t(h))
         h = from_t(h)
         h = GroupNorm(self.groups, eps=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype, name="conv2")(
-            to_t(h)
-        )
+        h = nn.Conv(self.out_channels, (3, 1), padding=[(1, 1), (0, 0)],
+                    dtype=self.dtype, name="conv2")(to_t(h))
         h = from_t(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -243,15 +237,14 @@ class Decoder(nn.Module):
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         if temporal and num_frames > 1:
-            # time_conv_out: (3,1,1) conv over the frame axis
+            # time_conv_out: frame-axis conv on the free [B, F, H*W, C] view
             f = num_frames
             n, hh, ww, c = x.shape
             b = n // f
-            xt = x.reshape(b, f, hh, ww, c).transpose(0, 2, 3, 1, 4).reshape(
-                b * hh * ww, f, c
-            )
-            xt = nn.Conv(c, (3,), padding=1, dtype=self.dtype, name="time_conv_out")(xt)
-            x = xt.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4).reshape(n, hh, ww, c)
+            xt = x.reshape(b, f, hh * ww, c)
+            xt = nn.Conv(c, (3, 1), padding=[(1, 1), (0, 0)], dtype=self.dtype,
+                         name="time_conv_out")(xt)
+            x = xt.reshape(n, hh, ww, c)
         return x
 
 
