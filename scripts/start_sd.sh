@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Canonical 4-step SD workflow (rebuild of the reference scripts/start_sd.sh).
+# Pass a diffusers checkpoint dir via PRETRAINED=...; runs random-init otherwise.
+set -e
+export PYTHONPATH=$(pwd)
+PRETRAINED=${PRETRAINED:+--pretrained_model_path $PRETRAINED}
+CONTENT=${CONTENT:-examples/contents/demo-fly}
+STYLE=${STYLE:-examples/styles/00033.png}
+MASK=${MASK:-examples/masks/demo-fly.png}
+NAME=$(basename $CONTENT)
+SNAME=$(basename $STYLE .png)
+
+python -m univst_tpu.cli.run_content_inversion_sd $PRETRAINED \
+    --content_path $CONTENT --output_path results/contents-inv --is_opt
+python -m univst_tpu.cli.run_style_inversion_sd $PRETRAINED \
+    --style_path $STYLE --output_path results/styles-inv
+python -m univst_tpu.cli.mask_propagation \
+    --feature_path results/contents-inv/sd/$NAME/features/inversion_feature_map_2_block_301_step.pt \
+    --backbone sd --mask_path $MASK --output_path results/masks
+python -m univst_tpu.cli.run_video_style_transfer_sd $PRETRAINED \
+    --content_inv_path results/contents-inv/sd/$NAME/inversion \
+    --style_inv_path results/styles-inv/sd/$SNAME/inversion \
+    --mask_path results/masks/sd/$(basename $MASK .png) \
+    --output_path results/stylizations

@@ -172,9 +172,9 @@ def test_sd_unet_convert_and_merge(tiny_setup):
         np.asarray(merged["conv_in"]["spatial"]["kernel"]),
         np.transpose(sd["conv_in.weight"], (2, 3, 1, 0)),
     )
-    # temporal params untouched (dirac identity kept)
+    # temporal params untouched (dirac identity kept); kernel is (ks, 1, in, out)
     k = np.asarray(merged["conv_in"]["temporal"]["kernel"])
-    assert np.allclose(k[1], np.eye(k.shape[1]))
+    assert np.allclose(k[1, 0], np.eye(k.shape[2]))
     # merged model still runs
     out, _ = model.apply({"params": merged}, x, 1, ctx, vctx)
     assert out.shape == x.shape

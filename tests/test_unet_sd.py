@@ -82,3 +82,20 @@ def test_style_ctx_branch_isolation_and_window(setup):
     assert np.abs(out_in[2 * F :] - out_plain[2 * F :]).max() > 1e-4
     # outside window: exact no-op
     np.testing.assert_allclose(out_out, out_plain, atol=0)
+
+
+def test_linear_projection_variant_builds():
+    """SD-2.1 differs by use_linear_projection + per-block head counts; the
+    tiny analogue must build and run (converter handles both projections)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        UNetSDConfig.tiny(), use_linear_projection=True, num_heads=(1, 2, 2, 2)
+    )
+    model = UNetPseudo3D(cfg)
+    vctx = VideoCtx(num_frames=2, frame_indices=(-1, "first"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), x, jnp.asarray(1), ctx, vctx)
+    out, _ = model.apply(params, x, jnp.asarray(1), ctx, vctx)
+    assert out.shape == x.shape

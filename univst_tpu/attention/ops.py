@@ -181,6 +181,47 @@ def _flash_eligible(tq: int, s: int, dh: int) -> bool:
     return tq >= 256 and tq % 128 == 0 and s % 128 == 0
 
 
+def video_mha(q, k, v, num_heads: int, num_frames: int,
+              frame_indices: Sequence[FrameIndex], scale: float | None = None):
+    """Sparse-causal video attention on pre-head ``[B*F, L, D]`` tensors.
+
+    On TPU with large token counts this dispatches to the fused Pallas kernel
+    (attention/pallas_attention.py) that reads per-frame KV blocks via index
+    maps — no expanded-KV materialization. Elsewhere it falls back to the
+    explicit gather + mha path (bitwise the reference semantics)."""
+    import os
+
+    bf, l, d = q.shape
+    dh = d // num_heads
+    f = num_frames
+    use_kernel = (
+        frame_indices
+        and not os.environ.get("UNIVST_DISABLE_FLASH")
+        and jax.default_backend() in ("tpu", "axon")
+        and l >= 256
+        and l % 128 == 0
+    )
+    if use_kernel:
+        from univst_tpu.attention.pallas_attention import video_flash_attention
+
+        b = bf // f
+
+        def split(x):
+            return x.reshape(b, f, l, num_heads, dh).transpose(0, 1, 3, 2, 4)
+
+        dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+        out = video_flash_attention(
+            split(q).astype(dt), split(k).astype(dt), split(v).astype(dt),
+            tuple(frame_indices),
+            sm_scale=float(dh**-0.5 if scale is None else scale),
+        ).astype(q.dtype)
+        return out.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
+    if frame_indices:
+        k = cross_frame_kv(k, f, frame_indices)
+        v = cross_frame_kv(v, f, frame_indices)
+    return mha(q, k, v, num_heads, scale)
+
+
 def mha(q, k, v, num_heads: int, scale: float | None = None):
     """Multi-head attention over pre-head ``[B, L, D]`` tensors; returns [B, L, D].
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from univst_tpu.attention.ops import apply_style_shift, cross_frame_kv, mha
+from univst_tpu.attention.ops import apply_style_shift, cross_frame_kv, mha, video_mha
 from univst_tpu.core.config import FrameIndex, StyleShiftConfig
 
 
@@ -164,10 +164,12 @@ class SelfAttention(nn.Module):
                 q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
             )
         if video_ctx.is_video and video_ctx.frame_indices:
-            k = cross_frame_kv(k, video_ctx.num_frames, video_ctx.frame_indices)
-            v = cross_frame_kv(v, video_ctx.num_frames, video_ctx.frame_indices)
-
-        out = mha(q, k, v, self.num_heads)
+            out = video_mha(
+                q, k, v, self.num_heads, video_ctx.num_frames,
+                video_ctx.frame_indices,
+            )
+        else:
+            out = mha(q, k, v, self.num_heads)
         kernel_init = (
             nn.initializers.zeros if self.zero_out_init else nn.initializers.lecun_normal()
         )
