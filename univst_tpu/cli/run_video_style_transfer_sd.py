@@ -50,7 +50,7 @@ def main(args):
 
     out = pipe.stylize_latents(
         content_rev, style_rev, init_latents, context3, mask=mask,
-        cfg=StyleTransferConfig(num_steps=args.time_steps),
+        cfg=StyleTransferConfig(num_steps=args.time_steps, smoother=args.smoother),
     )
     frames = np.asarray(pipe.decode_latents(out))
 
@@ -77,6 +77,9 @@ def build_parser():
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--time_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=33)
+    p.add_argument("--smoother", type=str, default=None, choices=[None, "pixel"],
+                   help="sliding-window flow smoother (the reference ships this "
+                        "feature disabled; 'pixel' enables it)")
     p.add_argument("--variant", type=str, default="sd15", choices=["sd15", "sd21", "tiny"])
     p.add_argument("--backbone", type=str, default="sd")
     p.add_argument("--platform", type=str, default=None)

@@ -533,3 +533,66 @@ def convert_t5(state_dict: Mapping[str, np.ndarray], cfg) -> Dict:
         b.put(f"layer_{i}_norm_ff/scale", b.take(f"{s}.layer.1.layer_norm.weight"))
     b.put("final_norm/scale", b.take("encoder.final_layer_norm.weight"))
     return b.finish(allow_unused_prefixes=("encoder.embed_tokens.weight", "shared.weight"))
+
+
+# ---------------------------------------------------------------------------
+# RAFT (princeton-vl checkpoint layout: fnet.* / cnet.* / update_block.*)
+# ---------------------------------------------------------------------------
+
+
+def _fold_bn(b: _TreeBuilder, src: str, dst: str, eps: float = 1e-5):
+    """BatchNorm (weight, bias, running stats) -> inference scale/bias."""
+    w = b.take(src + ".weight")
+    bias = b.take(src + ".bias")
+    mean = b.take(src + ".running_mean")
+    var = b.take(src + ".running_var")
+    if b.has(src + ".num_batches_tracked"):
+        b.take(src + ".num_batches_tracked")
+    scale = w / np.sqrt(var + eps)
+    b.put(dst + "/scale", scale)
+    b.put(dst + "/bias", bias - mean * scale)
+
+
+def convert_raft(state_dict: Mapping[str, np.ndarray], cfg=None) -> Dict:
+    """princeton-vl RAFT checkpoint (raft-things/sintel .pth) -> Flax tree.
+
+    ``module.`` DataParallel prefixes are stripped. fnet uses instance norm
+    (affine=False -> no params in the ckpt); cnet uses BatchNorm, folded to
+    inference scale/bias.
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+    b = _TreeBuilder(sd)
+
+    def encoder(src: str, dst: str, norm: str):
+        b.conv2d(f"{src}.conv1", f"{dst}/conv1")
+        if norm == "batch":
+            _fold_bn(b, f"{src}.norm1", f"{dst}/norm1")
+        for stage in (1, 2, 3):
+            for blk in (0, 1):
+                s = f"{src}.layer{stage}.{blk}"
+                d = f"{dst}/layer{stage}_{blk}"
+                b.conv2d(f"{s}.conv1", f"{d}/conv1")
+                b.conv2d(f"{s}.conv2", f"{d}/conv2")
+                if norm == "batch":
+                    _fold_bn(b, f"{s}.norm1", f"{d}/norm1")
+                    _fold_bn(b, f"{s}.norm2", f"{d}/norm2")
+                if b.has(f"{s}.downsample.0.weight"):
+                    b.conv2d(f"{s}.downsample.0", f"{d}/downsample")
+                    if norm == "batch":
+                        _fold_bn(b, f"{s}.downsample.1", f"{d}/norm3")
+        b.conv2d(f"{src}.conv2", f"{dst}/conv2")
+
+    encoder("fnet", "fnet", "instance")
+    encoder("cnet", "cnet", "batch")
+
+    enc = "update_block.encoder"
+    for name in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        b.conv2d(f"{enc}.{name}", f"update_block/{name}")
+    for name in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        b.conv2d(f"update_block.gru.{name}", f"update_block/gru/{name}")
+    b.conv2d("update_block.flow_head.conv1", "update_block/flow_head_conv1")
+    b.conv2d("update_block.flow_head.conv2", "update_block/flow_head_conv2")
+    b.conv2d("update_block.mask.0", "update_block/mask_conv1")
+    b.conv2d("update_block.mask.2", "update_block/mask_conv2")
+    return b.finish()
