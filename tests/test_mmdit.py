@@ -118,3 +118,26 @@ def test_sd3_pipeline_tiny_roundtrip():
         cfg=StyleTransferConfig(num_steps=4, eta_start_step=1, eta_end_step=3),
     )
     assert not np.isnan(np.asarray(out)).any()
+
+
+def test_dual_attention_variant():
+    """SD3.5-medium dual blocks: extra image-stream self-attention with its
+    own 3 modulation chunks; must build, run, and stay branch-isolated."""
+    cfg = MMDiTConfig.tiny(qk_norm="rms", dual_attention_layers=(0,))
+    model = MMDiT(cfg)
+    vctx = VideoCtx(num_frames=F, frame_indices=SD3_FRAME_INDICES)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3 * F, 8, 8, 16), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (3, 10, cfg.joint_attention_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (3, cfg.pooled_projection_dim))
+    params = model.init(jax.random.PRNGKey(3), x, jnp.asarray(500.0), ctx, pooled, vctx)
+    # dual block params exist
+    assert "attn2" in params["params"]["block_0"]
+    assert "attn2" not in params["params"]["block_1"]
+    fwd = jax.jit(lambda xx, sc: model.apply(params, xx, jnp.asarray(500.0), ctx,
+                                             pooled, vctx, sc), static_argnums=())
+    out_plain, _ = model.apply(params, x, jnp.asarray(500.0), ctx, pooled, vctx)
+    style = StyleCtx(step_idx=jnp.asarray(10), cfg=SD3_STYLE_SHIFT)
+    out_style, _ = model.apply(params, x, jnp.asarray(500.0), ctx, pooled, vctx, style)
+    np.testing.assert_allclose(np.asarray(out_style[: 2 * F]),
+                               np.asarray(out_plain[: 2 * F]), atol=2e-5)
+    assert np.abs(np.asarray(out_style[2 * F:]) - np.asarray(out_plain[2 * F:])).max() > 1e-5

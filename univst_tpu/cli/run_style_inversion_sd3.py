@@ -58,7 +58,7 @@ def build_parser():
     p.add_argument("--time_steps", type=int, default=50)
     p.add_argument("--is_rf_solver", action="store_true")
     p.add_argument("--seed", type=int, default=33)
-    p.add_argument("--variant", type=str, default="sd3", choices=["sd3", "sd35", "tiny"])
+    p.add_argument("--variant", type=str, default="sd3", choices=["sd3", "sd35", "sd35m", "tiny"])
     p.add_argument("--backbone", type=str, default="sd3")
     p.add_argument("--platform", type=str, default=None)
     return p

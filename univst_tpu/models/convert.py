@@ -482,6 +482,8 @@ def convert_mmdit(state_dict: Mapping[str, np.ndarray], cfg) -> Dict:
         d = f"block_{i}"
         pre_only = i == cfg.num_layers - 1
         b.linear(f"{s}.norm1.linear", f"{d}/norm1/linear")
+        if i in getattr(cfg, "dual_attention_layers", ()):
+            _convert_mmdit_dual(b, cfg, i)
         b.linear(f"{s}.norm1_context.linear", f"{d}/norm1_context/linear")
         a_s, a_d = f"{s}.attn", f"{d}/attn"
         for p in ("to_q", "to_k", "to_v"):
@@ -596,3 +598,15 @@ def convert_raft(state_dict: Mapping[str, np.ndarray], cfg=None) -> Dict:
     b.conv2d("update_block.mask.0", "update_block/mask_conv1")
     b.conv2d("update_block.mask.2", "update_block/mask_conv2")
     return b.finish()
+
+
+def _convert_mmdit_dual(b: _TreeBuilder, cfg, i: int):
+    """Extra params of an SD3.5-medium dual-attention block."""
+    s = f"transformer_blocks.{i}.attn2"
+    d = f"block_{i}/attn2"
+    for p in ("to_q", "to_k", "to_v"):
+        b.linear(f"{s}.{p}", f"{d}/{p}")
+    b.linear(f"{s}.to_out.0", f"{d}/to_out")
+    if cfg.qk_norm == "rms":
+        b.put(f"{d}/norm_q/scale", b.take(f"{s}.norm_q.weight"))
+        b.put(f"{d}/norm_k/scale", b.take(f"{s}.norm_k.weight"))

@@ -50,6 +50,8 @@ class MMDiTConfig:
     pooled_projection_dim: int = 2048
     pos_embed_max_size: int = 192
     qk_norm: Optional[str] = None  # None (SD3.0) | 'rms' (SD3.5)
+    # blocks with an extra image-stream self-attention (SD3.5-medium)
+    dual_attention_layers: Tuple[int, ...] = ()
     capture_block: Optional[int] = None
 
     @property
@@ -63,6 +65,14 @@ class MMDiTConfig:
     @staticmethod
     def sd35_large(**kw) -> "MMDiTConfig":
         return MMDiTConfig(num_layers=38, num_heads=38, qk_norm="rms", **kw)
+
+    @staticmethod
+    def sd35_medium(**kw) -> "MMDiTConfig":
+        # the reference CLIs default to stabilityai/stable-diffusion-3.5-medium
+        # (src/sd3/run_content_inversion_sd3.py:103): 24 layers, qk RMS norm,
+        # dual attention in blocks 0..12
+        return MMDiTConfig(qk_norm="rms",
+                           dual_attention_layers=tuple(range(13)), **kw)
 
     @staticmethod
     def tiny(**kw) -> "MMDiTConfig":
@@ -192,15 +202,61 @@ class JointAttention(nn.Module):
         return x_out, ctx_out
 
 
+class DualSelfAttention(nn.Module):
+    """The extra image-stream self-attention of SD3.5-medium dual blocks
+    (diffusers attn2 in JointTransformerBlock with use_dual_attention). The
+    reference's video processors register on every '*attn*' processor
+    (sd3 pnp_utils.py:276-286), so cross-frame KV + the style shift apply
+    here too."""
+
+    cfg: MMDiTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_ctx: VideoCtx, style_ctx: Optional[StyleCtx]):
+        c = self.cfg
+        d = c.hidden
+        bf = x.shape[0]
+
+        def split(y):
+            return y.reshape(bf, -1, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        q = split(nn.Dense(d, dtype=self.dtype, name="to_q")(x))
+        k = split(nn.Dense(d, dtype=self.dtype, name="to_k")(x))
+        v = split(nn.Dense(d, dtype=self.dtype, name="to_v")(x))
+        if c.qk_norm == "rms":
+            q = RMSNorm(dtype=self.dtype, name="norm_q")(q)
+            k = RMSNorm(dtype=self.dtype, name="norm_k")(k)
+        if style_ctx is not None and style_ctx.cfg is not None:
+            q, k, v = apply_style_shift_sd3(
+                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
+            )
+        if video_ctx.is_video and video_ctx.frame_indices:
+            k = cross_frame_kv_heads(k, video_ctx.num_frames, video_ctx.frame_indices)
+            v = cross_frame_kv_heads(v, video_ctx.num_frames, video_ctx.frame_indices)
+        out = sdpa(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
+        return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
+
+
 class JointBlock(nn.Module):
     cfg: MMDiTConfig
     context_pre_only: bool
+    dual_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, ctx, temb, video_ctx, style_ctx):
         d = self.cfg.hidden
-        sm, scm, gm, smlp, sclp, gmlp = AdaLNZero(6, self.dtype, name="norm1")(temb, d)
+        if self.dual_attention:
+            # SD35AdaLayerNormZeroX: 9 modulation chunks
+            (sm, scm, gm, smlp, sclp, gmlp, sm2, scm2, gm2) = AdaLNZero(
+                9, self.dtype, name="norm1"
+            )(temb, d)
+        else:
+            sm, scm, gm, smlp, sclp, gmlp = AdaLNZero(6, self.dtype, name="norm1")(
+                temb, d
+            )
         xh = _ln(x) * (1 + scm) + sm
         if self.context_pre_only:
             # AdaLayerNormContinuous chunk order is (scale, shift)
@@ -212,10 +268,18 @@ class JointBlock(nn.Module):
                 temb, d
             )
             ch = _ln(ctx) * (1 + css) + cs
+        if self.dual_attention:
+            # both attentions read the PRE-block hidden state, each with its
+            # own modulation (diffusers SD35AdaLayerNormZeroX semantics)
+            xh2 = _ln(x) * (1 + scm2) + sm2
         attn_x, attn_c = JointAttention(
             self.cfg, self.context_pre_only, dtype=self.dtype, name="attn"
         )(xh, ch, video_ctx, style_ctx)
         x = x + gm * attn_x
+        if self.dual_attention:
+            x = x + gm2 * DualSelfAttention(
+                self.cfg, dtype=self.dtype, name="attn2"
+            )(xh2, video_ctx, style_ctx)
         h = _ln(x) * (1 + sclp) + smlp
         x = x + gmlp * GeluMLP(d, dtype=self.dtype, name="ff")(h)
         if self.context_pre_only:
@@ -276,7 +340,8 @@ class MMDiT(nn.Module):
         for i in range(c.num_layers):
             pre_only = i == c.num_layers - 1
             tokens, ctx = JointBlock(
-                c, pre_only, dtype=self.dtype, name=f"block_{i}"
+                c, pre_only, dual_attention=i in c.dual_attention_layers,
+                dtype=self.dtype, name=f"block_{i}",
             )(tokens, ctx, temb, video_ctx, style_ctx)
             if c.capture_block is not None and i == c.capture_block:
                 # reference saves hidden.view(B, h/2, w/2, -1)

@@ -87,6 +87,13 @@ class SD3VideoPipeline:
             lcfg, gcfg = CLIPTextConfig.sd3_clip_l(), CLIPTextConfig.sd3_clip_g()
             tcfg = T5Config.xxl()
             max_seq = 256
+        elif variant == "sd35m":
+            # the reference CLI default checkpoint (SD3.5-medium, dual blocks)
+            mcfg = MMDiTConfig.sd35_medium(capture_block=capture_block)
+            vcfg = VAEConfig.sd3()
+            lcfg, gcfg = CLIPTextConfig.sd3_clip_l(), CLIPTextConfig.sd3_clip_g()
+            tcfg = T5Config.xxl()
+            max_seq = 256
         else:
             mcfg = MMDiTConfig.tiny(capture_block=capture_block)
             vcfg = VAEConfig.tiny(latent_channels=16, scaling_factor=1.5305,
