@@ -1,0 +1,67 @@
+"""Trajectory store + host I/O round-trip tests (the on-disk hand-off formats
+must match the reference byte layouts, core/trajectory.py docstring)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from univst_tpu.core.trajectory import (
+    load_latents_at_t,
+    load_trajectory,
+    save_trajectory,
+)
+from univst_tpu.utils.io import (
+    load_mask,
+    load_style_image,
+    load_video_frames,
+    save_frames,
+)
+
+
+def test_trajectory_roundtrip_sd_format(tmp_path):
+    rng = np.random.default_rng(0)
+    traj = rng.standard_normal((5, 4, 8, 8, 4)).astype(np.float32)
+    save_trajectory(traj, str(tmp_path))
+    # reference layout: [1, C, F, H, W] fp16
+    raw = torch.load(tmp_path / "ddim_latents_3.pt", weights_only=True)
+    assert raw.shape == (1, 4, 4, 8, 8) and raw.dtype == torch.float16
+    back = load_latents_at_t(3, str(tmp_path))
+    np.testing.assert_allclose(back, traj[3], atol=2e-3)
+    # reversed full load: index i holds step (T - i)
+    rev = np.asarray(load_trajectory(str(tmp_path), 4, reverse=True))
+    np.testing.assert_allclose(rev[0], traj[4], atol=2e-3)
+    np.testing.assert_allclose(rev[-1], traj[0], atol=2e-3)
+
+
+def test_trajectory_roundtrip_sd3_format(tmp_path):
+    rng = np.random.default_rng(1)
+    traj = rng.standard_normal((3, 2, 8, 8, 16)).astype(np.float32)
+    save_trajectory(traj, str(tmp_path), reference_rank=4)
+    raw = torch.load(tmp_path / "ddim_latents_1.pt", weights_only=True)
+    assert raw.shape == (2, 16, 8, 8)  # SD3 batches frames: [F, C, H, W]
+    back = load_latents_at_t(1, str(tmp_path))
+    np.testing.assert_allclose(back, traj[1], atol=2e-3)
+
+
+def test_frame_and_mask_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(0, 1, (3, 16, 16, 3)).astype(np.float32)
+    save_frames(frames, str(tmp_path / "v"))
+    back = load_video_frames(str(tmp_path / "v"), 3, (16, 16))
+    # save maps [0,1] -> uint8; load maps to [-1, 1]
+    np.testing.assert_allclose(back, frames * 2 - 1, atol=2 / 127.5)
+    # style image repeat
+    sty = load_style_image(str(tmp_path / "v" / "00000.png"), 4, (16, 16))
+    assert sty.shape == (4, 16, 16, 3)
+    np.testing.assert_allclose(sty[0], sty[3])
+    # mask binarization quirk: any nonzero -> 1
+    from PIL import Image
+
+    m = np.zeros((16, 16), np.uint8)
+    m[4:8, 4:8] = 1
+    (tmp_path / "m").mkdir()
+    for i in range(2):
+        Image.fromarray(m, mode="L").save(tmp_path / "m" / ("%05d.png" % i))
+    mask = load_mask(str(tmp_path / "m"), 2)
+    assert set(np.unique(mask)) == {0.0, 1.0}
+    assert mask.sum() == 2 * 16

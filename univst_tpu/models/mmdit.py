@@ -76,10 +76,10 @@ class MMDiTConfig:
 
     @staticmethod
     def tiny(**kw) -> "MMDiTConfig":
-        return MMDiTConfig(
-            num_layers=2, num_heads=2, head_dim=16, joint_attention_dim=64,
-            pooled_projection_dim=32, pos_embed_max_size=16, **kw
-        )
+        base = dict(num_layers=2, num_heads=2, head_dim=16, joint_attention_dim=64,
+                    pooled_projection_dim=32, pos_embed_max_size=16)
+        base.update(kw)
+        return MMDiTConfig(**base)
 
 
 def sincos_pos_embed_2d(dim: int, grid_h: int, grid_w: int) -> np.ndarray:
