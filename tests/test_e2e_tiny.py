@@ -90,3 +90,67 @@ def test_full_workflow(example_data):
     img = np.asarray(Image.open(styl_dir / frames[0]))
     assert img.shape == (SIZE, SIZE, 3)
     assert img.std() > 0  # not a constant image
+
+
+def test_animatediff_workflow(example_data):
+    """AD CLI path: content inversion -> style transfer (no init AdaIN,
+    linear-beta DDIM, no cross-frame attention)."""
+    root = example_data
+    out = root / "results_ad"
+    from univst_tpu.cli import run_content_inversion_animatediff as ci
+    from univst_tpu.cli import run_style_inversion_animatediff as si
+    from univst_tpu.cli import run_video_style_transfer_animatediff as st
+
+    common = [
+        "--variant", "tiny", "--num_frames", str(FRAMES), "--height", str(SIZE),
+        "--width", str(SIZE), "--time_steps", "4", "--platform", "cpu",
+    ]
+    ci.main(ci.build_parser().parse_args(common + [
+        "--content_path", str(root / "contents" / "vid"),
+        "--output_path", str(out / "ci"), "--ft_timesteps", "501",
+    ]))
+    si.main(si.build_parser().parse_args(common + [
+        "--style_path", str(root / "style.png"), "--output_path", str(out / "si"),
+    ]))
+    st.main(st.build_parser().parse_args(common + [
+        "--content_inv_path", str(out / "ci" / "animatediff" / "vid" / "inversion"),
+        "--style_inv_path", str(out / "si" / "animatediff" / "style" / "inversion"),
+        "--output_path", str(out / "st"),
+    ]))
+    frames = sorted(os.listdir(out / "st" / "animatediff" / "vid_style"))
+    assert len(frames) == FRAMES
+
+
+def test_sd3_workflow(example_data):
+    """SD3 CLI path: RF-Solver inversion -> controlled-velocity stylization,
+    SD3 trajectory format [F, C, H, W]."""
+    root = example_data
+    out = root / "results_sd3"
+    from univst_tpu.cli import run_content_inversion_sd3 as ci
+    from univst_tpu.cli import run_style_inversion_sd3 as si
+    from univst_tpu.cli import run_video_style_transfer_sd3 as st
+
+    common = [
+        "--variant", "tiny", "--num_frames", str(FRAMES), "--height", str(SIZE),
+        "--width", str(SIZE), "--time_steps", "4", "--platform", "cpu",
+    ]
+    ci.main(ci.build_parser().parse_args(common + [
+        "--content_path", str(root / "contents" / "vid"),
+        "--output_path", str(out / "ci"), "--ft_indices", "1",
+        "--ft_timesteps", "1", "--is_rf_solver",
+    ]))
+    import torch
+
+    lat = torch.load(out / "ci" / "sd3" / "vid" / "inversion" / "ddim_latents_4.pt",
+                     weights_only=True)
+    assert lat.ndim == 4  # [F, C, H, W]
+    si.main(si.build_parser().parse_args(common + [
+        "--style_path", str(root / "style.png"), "--output_path", str(out / "si"),
+    ]))
+    st.main(st.build_parser().parse_args(common + [
+        "--content_inv_path", str(out / "ci" / "sd3" / "vid" / "inversion"),
+        "--style_inv_path", str(out / "si" / "sd3" / "style" / "inversion"),
+        "--output_path", str(out / "st"),
+    ]))
+    frames = sorted(os.listdir(out / "st" / "sd3" / "vid_style"))
+    assert len(frames) == FRAMES
