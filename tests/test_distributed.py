@@ -52,7 +52,7 @@ def test_mmdit_tensor_parallel_matches_single_device():
     """(data=2, tensor=4) mesh: column/row-parallel MMDiT matches the
     single-device forward; params actually sharded on the tensor axis."""
     from univst_tpu.core.config import SD3_FRAME_INDICES
-    from univst_tpu.distributed.tp import mmdit_param_shardings, shard_mmdit_params
+    from univst_tpu.distributed.tp import shard_mmdit_params
     from univst_tpu.models.mmdit import MMDiT, MMDiTConfig
 
     cfg = MMDiTConfig.tiny(num_heads=4, head_dim=16)  # 4 heads / tensor=4

@@ -2,7 +2,6 @@
 must match the reference byte layouts, core/trajectory.py docstring)."""
 
 import numpy as np
-import jax.numpy as jnp
 import torch
 
 from univst_tpu.core.trajectory import (

@@ -25,7 +25,6 @@ from univst_tpu.utils.io import load_video, save_video, seed_everything
 def main(args):
     setup_jax(args.platform)
     import jax
-    import jax.numpy as jnp
 
     from univst_tpu.core.trajectory import save_trajectory
     

@@ -13,8 +13,6 @@ array indexed inside the ``lax.scan`` denoise loop, never touching the host.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

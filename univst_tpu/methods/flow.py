@@ -19,12 +19,10 @@ with (dx, dy) pixel offsets, matching the reference's convention
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def warp_image_with_flow(image, flow):

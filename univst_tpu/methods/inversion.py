@@ -19,7 +19,7 @@ same scans serve SD, AnimateDiff (epsilon models) and SD3 (velocity model).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

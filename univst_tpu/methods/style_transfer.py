@@ -19,7 +19,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from univst_tpu.core.adain import latent_adain, latent_adain_sd3
 from univst_tpu.core.config import StyleTransferConfig

@@ -12,7 +12,7 @@ user-provided HF tokenizer directory.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ Weight layout transforms (torch -> flax):
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Dict, Mapping, Tuple
 
 import numpy as np
 

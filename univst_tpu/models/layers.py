@@ -16,15 +16,14 @@ pytree arguments threaded through every ``__call__``:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from univst_tpu.attention.ops import apply_style_shift, cross_frame_kv, mha, video_mha
+from univst_tpu.attention.ops import apply_style_shift, mha, video_mha
 from univst_tpu.core.config import FrameIndex, StyleShiftConfig
 
 

@@ -34,7 +34,6 @@ from univst_tpu.attention.ops import (
     cross_frame_kv_heads,
     sdpa,
 )
-from univst_tpu.core.config import SD3_FRAME_INDICES
 from univst_tpu.models.layers import StyleCtx, TimestepEmbedMLP, VideoCtx, timestep_embedding
 
 

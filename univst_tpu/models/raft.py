@@ -16,8 +16,7 @@ same ``flow_fn(img1, img2) -> flow`` interface via :func:`make_raft_flow`.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -20,18 +20,12 @@ Outputs plug into ``UNetAnimateDiff`` skip connections as additive residuals
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from univst_tpu.models.layers import (
-    GroupNorm,
-    StyleCtx,
-    TimestepEmbedMLP,
-    VideoCtx,
-    timestep_embedding,
-)
+from univst_tpu.models.layers import TimestepEmbedMLP, VideoCtx, timestep_embedding
 from univst_tpu.models.unet_ad import (
     ADResnetBlock,
     ADTransformer,

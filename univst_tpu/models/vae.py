@@ -14,13 +14,13 @@ Layout: pixels and latents are ``[F, H, W, C]`` (frames as batch).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from univst_tpu.models.layers import GroupNorm, VideoCtx
+from univst_tpu.models.layers import GroupNorm
 
 
 @dataclasses.dataclass(frozen=True)

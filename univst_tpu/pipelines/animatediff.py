@@ -11,7 +11,6 @@ univst_tpu/models/unet_ad.py docstring), so both index sets are empty.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Optional
 

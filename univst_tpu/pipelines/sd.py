@@ -16,11 +16,10 @@ import dataclasses
 import glob
 import os
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from univst_tpu.core.config import (
     SD_BASE_FRAME_INDICES,

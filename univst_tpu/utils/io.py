@@ -8,7 +8,7 @@ channels-last numpy arrays ready for device upload.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image
