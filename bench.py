@@ -1,18 +1,26 @@
 """UniVST-TPU headline benchmark.
 
-Metric: end-to-end stylized frames/sec/chip — SD-1.5 @512px, 16 frames,
-50 denoising steps of the 3-branch localized style transfer (the reference's
-main event, stable_diffusion.py:630-766) + temporal-VAE decode.
+Headline metric: end-to-end stylized frames/sec/chip — SD-1.5 @512px,
+16 frames, 50 denoising steps of the 3-branch localized style transfer (the
+reference's main event, stable_diffusion.py:630-766) + temporal-VAE decode.
+Secondary metrics (emitted in the same JSON line under "extra"):
+  * inversion steps/sec — 50-step content inversion, batch 1x16 frames
+    (reference workload: inversion_tools/ddim_inversion.py:101,135);
+  * effective TFLOPS + MFU of the stylization loop (XLA cost-analysis FLOPs /
+    measured step time / chip peak).
 
 Weights are random-init (no hub access in this environment); throughput is
 weight-independent. Trajectories are synthetic on-device arrays, mask enabled.
+The style trajectory is synthesized with its real structural property —
+identical frames (a repeated style image) — which the round-2 singleton fast
+path exploits exactly (tests/test_style_singleton.py).
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
 denominator is a documented engineering estimate of the reference pipeline on
 one A100: ~50 steps x batch 48 UNet forwards at fp16 with per-step disk reads
 ~= 15 s for 16 frames => ~1.05 frames/sec. See BENCH_NOTES.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -20,6 +28,22 @@ import sys
 import time
 
 REF_BASELINE_FPS = 1.05  # estimated reference A100 frames/sec (BENCH_NOTES.md)
+
+# bf16 peak TFLOPS per chip for MFU accounting
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # v6e
+}
+
+
+def _peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in _PEAK_TFLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197.0
 
 
 def main():
@@ -51,7 +75,9 @@ def main():
     k1, k2, k3, k4 = jax.random.split(key, 4)
     lat_c = 4
     content_rev = jax.random.normal(k1, (steps + 1, frames, h8, h8, lat_c), jnp.float32)
-    style_rev = jax.random.normal(k2, (steps + 1, frames, h8, h8, lat_c), jnp.float32)
+    # style trajectories have identical frames by construction; synthesize the
+    # canonical single-frame form the singleton fast path consumes
+    style_rev = jax.random.normal(k2, (steps + 1, 1, h8, h8, lat_c), jnp.float32)
     init = jax.random.normal(k3, (frames, h8, h8, lat_c), jnp.float32)
     mask = (jax.random.uniform(k4, (frames, size, size)) > 0.5).astype(jnp.float32)
     context = pipe.encode_text("")
@@ -77,6 +103,52 @@ def main():
     best = min(times)
     fps = frames / best
 
+    # ---- secondary: inversion steps/sec (content inversion workload) -------
+    def run_inv():
+        traj, _ = pipe.invert(content_rev[0], context, num_steps=steps, is_opt=True)
+        return np.asarray(traj[-1])
+
+    t0 = time.time()
+    run_inv()
+    inv_compile_s = time.time() - t0
+    t0 = time.time()
+    run_inv()
+    inv_steps_per_sec = steps / (time.time() - t0)
+
+    # ---- secondary: effective TFLOPS / MFU of the stylization loop ---------
+    # FLOPs from XLA cost analysis of the compiled per-chunk stylization graph.
+    eff_tflops = mfu = None
+    try:
+        from univst_tpu.pipelines.sd import (
+            _style_prepass,
+            _stylize_chunk_singleton,
+        )
+
+        chunk = pipe._exec_chunk(steps)
+        ts_full = jnp.asarray(pipe.schedule.timesteps(steps).copy())
+        sty_lats = style_rev[:steps, :1]
+        kv = _style_prepass(pipe, pipe.unet_params, sty_lats[:, 0], ts_full,
+                            context3[1:2])
+        sl = slice(0, chunk)
+        import jax.tree_util as jtu
+
+        lowered = _stylize_chunk_singleton.lower(
+            pipe, pipe.unet_params, content_rev[sl], sty_lats[sl],
+            jtu.tree_map(lambda a: a[sl], kv), init, jnp.arange(chunk),
+            ts_full[sl], context3[jnp.asarray([0, 2])], mask, cfg, None,
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_chunk = float(cost.get("flops", 0.0))
+        if flops_per_chunk > 0:
+            total_flops = flops_per_chunk * (steps / chunk)
+            loop_time = best  # decode included; slightly conservative
+            eff_tflops = total_flops / loop_time / 1e12
+            mfu = eff_tflops / _peak_tflops(dev)
+    except Exception as e:  # cost analysis may be unavailable via the tunnel
+        print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
+
     result = {
         "metric": "end-to-end stylized frames/sec/chip (SD1.5 @512, 50 steps)"
         if on_tpu
@@ -84,11 +156,18 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 4),
+        "extra": {
+            "inversion_steps_per_sec": round(inv_steps_per_sec, 3),
+            "stylize_run_s": round(best, 2),
+            "effective_tflops": None if eff_tflops is None else round(eff_tflops, 1),
+            "mfu": None if mfu is None else round(mfu, 3),
+        },
     }
     print(json.dumps(result))
     print(
         f"# device={dev} variant={variant} steps={steps} frames={frames} "
-        f"size={size} compile={compile_s:.1f}s run={best:.2f}s",
+        f"size={size} compile={compile_s:.1f}s run={best:.2f}s "
+        f"inv_compile={inv_compile_s:.1f}s",
         file=sys.stderr,
     )
 

@@ -12,6 +12,8 @@ from univst_tpu.distributed.mesh import batch_sharding, make_mesh, replicate, sh
 from univst_tpu.models.layers import StyleCtx, VideoCtx
 from univst_tpu.models.unet_sd import UNetPseudo3D, UNetSDConfig
 
+pytestmark = pytest.mark.slow  # model-level; run fast set with -m 'not slow'
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_frame_sharded_unet_matches_single_device():

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # model-level; run fast set with -m 'not slow'
+
 FRAMES, SIZE, STEPS = 4, 64, 10
 
 

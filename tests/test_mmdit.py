@@ -12,6 +12,8 @@ from univst_tpu.core.config import SD3_FRAME_INDICES, SD3_STYLE_SHIFT
 from univst_tpu.models.layers import StyleCtx, VideoCtx
 from univst_tpu.models.mmdit import MMDiT, MMDiTConfig
 
+pytestmark = pytest.mark.slow  # model-level; run fast set with -m 'not slow'
+
 F = 4
 
 

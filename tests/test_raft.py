@@ -8,6 +8,8 @@ import pytest
 from univst_tpu.models.convert import convert_raft, merge_into_params
 from univst_tpu.models.raft import RAFT, RAFTConfig, make_raft_flow
 
+pytestmark = pytest.mark.slow  # model-level; run fast set with -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tiny_raft():

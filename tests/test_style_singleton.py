@@ -1,0 +1,160 @@
+"""Round-2 perf restructuring: exactness tests.
+
+Two exact algorithmic optimizations over the reference's 3x16-frame batch
+(stable_diffusion.py:704-710):
+
+  1. temporal-identity elision — temporal convs stay at their dirac init and
+     temporal attention at its zero-init output projection (2D checkpoints
+     carry no temporal weights, reference unet_3d_condition.py:493-509;
+     nothing trains them), so both are exact no-ops.
+  2. style-branch singleton — the style trajectory comes from inverting a
+     single image repeated over frames (ddim_inversion.py:51), so all its
+     frames are identical and the style branch runs as one frame whose PnP
+     K/V are precomputed for all steps in one batched pre-pass.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from univst_tpu.core.config import SD_BASE_FRAME_INDICES, StyleTransferConfig
+from univst_tpu.models.layers import VideoCtx
+from univst_tpu.models.unet_sd import UNetPseudo3D, UNetSDConfig
+from univst_tpu.pipelines.sd import SDVideoPipeline
+
+
+def _tiny_unet_io(f=4, hw=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((f, hw, hw, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 77, 32)), jnp.float32)
+    return x, ctx
+
+
+def test_temporal_identity_elision_is_exact():
+    """UNet with temporal layers elided == full UNet at init (dirac temporal
+    convs, zero-init temporal attention out-proj)."""
+    f = 4
+    x, ctx = _tiny_unet_io(f)
+    vctx = VideoCtx(num_frames=f, frame_indices=SD_BASE_FRAME_INDICES)
+    outs = {}
+    for ident in (False, True):
+        cfg = UNetSDConfig.tiny(temporal_identity=ident)
+        unet = UNetPseudo3D(cfg, dtype=jnp.float32)
+        params = unet.init(jax.random.PRNGKey(0), x, jnp.asarray(0), ctx, vctx)["params"]
+        outs[ident], _ = unet.apply({"params": params}, x, jnp.asarray(301), ctx, vctx)
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(outs[False]), rtol=1e-5, atol=1e-6
+    )
+
+
+def _stylize_setup(steps=6, f=4, size=64, dtype=jnp.float32):
+    pipe = SDVideoPipeline.build(
+        variant="tiny", num_frames=f, height=size, width=size, dtype=dtype
+    )
+    rng = np.random.default_rng(0)
+    h8 = size // 8
+    content = jnp.asarray(rng.standard_normal((steps + 1, f, h8, h8, 4)), jnp.float32)
+    sty1 = rng.standard_normal((steps + 1, 1, h8, h8, 4)).astype(np.float32)
+    style = jnp.asarray(np.tile(sty1, (1, f, 1, 1, 1)))  # identical frames
+    init = jnp.asarray(rng.standard_normal((f, h8, h8, 4)), jnp.float32)
+    mask = jnp.asarray((rng.random((f, size, size)) > 0.5).astype(np.float32))
+    ctx3 = jnp.concatenate([pipe.encode_text("")] * 3, axis=0)
+    return pipe, content, style, init, mask, ctx3
+
+
+@pytest.mark.slow
+def test_style_singleton_matches_3branch():
+    """2-branch + injected style K/V == legacy 3-branch batch, given the
+    (always true by construction) identical style frames."""
+    pipe, content, style, init, mask, ctx3 = _stylize_setup()
+    cfg = StyleTransferConfig(num_steps=6)
+    out_new = pipe.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    legacy = dataclasses.replace(pipe, style_singleton=False)
+    out_old = legacy.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_new), np.asarray(out_old), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_style_singleton_accepts_single_frame_trajectory():
+    """The canonical on-device style trajectory is [N+1, 1, h, w, C]."""
+    pipe, content, style, init, mask, ctx3 = _stylize_setup()
+    cfg = StyleTransferConfig(num_steps=6)
+    out_full = pipe.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    out_one = pipe.stylize_latents(
+        content, style[:, :1], init, ctx3, mask=mask, cfg=cfg
+    )
+    np.testing.assert_allclose(np.asarray(out_one), np.asarray(out_full), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_single_frame_style_inversion_matches_repeated():
+    """Inverting 1 style frame == inverting the same frame repeated x F
+    (per-frame slice of the trajectory): the basis for the 16x faster style
+    inversion CLI. Cross-frame KV over identical frames reduces to plain
+    attention by softmax duplicate-key invariance."""
+    steps, f, size = 4, 4, 64
+    pipe_f = SDVideoPipeline.build(
+        variant="tiny", num_frames=f, height=size, width=size, dtype=jnp.float32
+    )
+    pipe_1 = SDVideoPipeline.build(
+        variant="tiny", num_frames=1, height=size, width=size, dtype=jnp.float32
+    )
+    # same seed => identical weights (param init keys are path-derived)
+    chex_equal = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.all(a == b)), pipe_f.unet_params, pipe_1.unet_params
+        )
+    )
+    assert chex_equal, "param trees differ between frame counts"
+    rng = np.random.default_rng(3)
+    frame = rng.standard_normal((1, size // 8, size // 8, 4)).astype(np.float32)
+    lat_f = jnp.asarray(np.tile(frame, (f, 1, 1, 1)))
+    lat_1 = jnp.asarray(frame)
+    ctx = pipe_f.encode_text("")
+    traj_f, _ = pipe_f.invert(lat_f, ctx, num_steps=steps, is_opt=False)
+    traj_1, _ = pipe_1.invert(lat_1, ctx, num_steps=steps, is_opt=False)
+    np.testing.assert_allclose(
+        np.asarray(traj_f[:, :1]), np.asarray(traj_1), rtol=2e-4, atol=2e-5
+    )
+    # and all frames of the repeated inversion are identical
+    np.testing.assert_allclose(
+        np.asarray(traj_f), np.asarray(jnp.broadcast_to(traj_1, traj_f.shape)),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+@pytest.mark.slow
+def test_cfg_reconstruction():
+    """guidance_scale > 1 with uncond == cond is the identity (the reference's
+    CFG at its drivers' guidance_scale=1.0 setting, ddim_inversion.py:40);
+    a different uncond context changes the result."""
+    pipe, content, style, init, mask, ctx3 = _stylize_setup()
+    ctx = ctx3[:1]
+    lat_T = content[-1]
+    base = pipe.reconstruct_latents(lat_T, ctx, num_steps=4)
+    same = pipe.reconstruct_latents(
+        lat_T, ctx, num_steps=4, guidance_scale=7.5, uncond_context=ctx
+    )
+    np.testing.assert_allclose(np.asarray(same), np.asarray(base), rtol=1e-4, atol=1e-5)
+    other = pipe.reconstruct_latents(
+        lat_T, ctx, num_steps=4, guidance_scale=7.5, uncond_context=ctx * 0.5
+    )
+    assert np.abs(np.asarray(other) - np.asarray(base)).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_style_singleton_bf16_close():
+    """bf16 run of both paths stays within bf16 reduction noise."""
+    pipe, content, style, init, mask, ctx3 = _stylize_setup(dtype=jnp.bfloat16)
+    cfg = StyleTransferConfig(num_steps=6)
+    out_new = pipe.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    legacy = dataclasses.replace(pipe, style_singleton=False)
+    out_old = legacy.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_new), np.asarray(out_old), rtol=0.15, atol=0.05
+    )

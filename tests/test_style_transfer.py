@@ -2,6 +2,7 @@
 encodes the reference pipeline semantics (stable_diffusion.py:681-761)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,6 +99,7 @@ def test_masked_region_tracks_content_trajectory():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_smoother_path_runs():
     """cfg.smoother='pixel' exercises the decode -> flow smooth -> re-encode
     path (reference ships it disabled; we make it functional)."""

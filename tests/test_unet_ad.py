@@ -13,6 +13,8 @@ from univst_tpu.models.convert import convert_motion_module, merge_into_params
 from univst_tpu.models.layers import StyleCtx, VideoCtx
 from univst_tpu.models.unet_ad import UNetAnimateDiff, UNetADConfig
 
+pytestmark = pytest.mark.slow  # model-level; run fast set with -m 'not slow'
+
 F = 4
 
 

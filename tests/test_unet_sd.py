@@ -19,6 +19,8 @@ from univst_tpu.models.layers import StyleCtx, VideoCtx
 from univst_tpu.models.unet_sd import UNetPseudo3D, UNetSDConfig
 from univst_tpu.core.config import SD_STYLE_SHIFT, SD_PNP_FRAME_INDICES
 
+pytestmark = pytest.mark.slow  # model-level; run fast set with -m 'not slow'
+
 F = 4
 
 

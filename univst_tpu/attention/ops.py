@@ -119,6 +119,40 @@ def apply_style_shift(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: int)
     return q, k, v
 
 
+def apply_style_shift_injected(
+    q, k, v, style_k, style_v, step_idx, cfg: StyleShiftConfig, num_frames: int
+):
+    """2-branch AdaIN shift on pre-head ``[2F, L, D]`` tensors.
+
+    Batch layout is [content | stylized]; the style branch's projected K/V
+    arrive precomputed as ``style_k`` / ``style_v`` with shape ``[1, L, D]``
+    (the style branch's frames are identical — a repeated style image — so it
+    runs once as a single frame; see pipelines/sd.py style pre-pass). The math
+    is identical to :func:`apply_style_shift` with the style chunk broadcast
+    from one frame (reference: video_diffusion_sd/pnp_utils.py:47-57)."""
+    f = num_frames
+    gate = cfg.window_gate(step_idx)
+    beta = cfg.beta(step_idx).astype(jnp.float32)
+
+    q_cnt, q_sty = q[:f], q[f:]
+    k_sty, v_sty = k[f:], v[f:]
+    k_style = style_k.astype(jnp.float32)
+    v_style = style_v.astype(jnp.float32)
+
+    q_new = cfg.gamma * (cfg.alpha * q_cnt + (1.0 - cfg.alpha) * q_sty)
+    k_new = beta * attention_adain(k_sty, k_style) + (1.0 - beta) * k_style
+    v_new = beta * attention_adain(v_sty, v_style) + (1.0 - beta) * v_style
+
+    q_out = jnp.where(gate, q_new.astype(q.dtype), q_sty)
+    k_out = jnp.where(gate, k_new.astype(k.dtype), k_sty)
+    v_out = jnp.where(gate, v_new.astype(v.dtype), v_sty)
+
+    q = jnp.concatenate([q[:f], q_out], axis=0)
+    k = jnp.concatenate([k[:f], k_out], axis=0)
+    v = jnp.concatenate([v[:f], v_out], axis=0)
+    return q, k, v
+
+
 def apply_style_shift_sd3(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: int):
     """SD3 variant on per-head ``[3F, heads, N, Dh]`` tensors (after q/k norm;
     reference: video_diffusion_sd3/pnp_utils.py:181-194)."""

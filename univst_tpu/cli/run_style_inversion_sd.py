@@ -3,7 +3,14 @@
 Rebuild of src/sd/run_style_inversion_sd.py: the style image is repeated to
 num_frames frames (inversion_tools/ddim_inversion.py:45-65), inverted without
 EasyInv by default, trajectory + reconstruction written like content inversion
-(no feature capture)."""
+(no feature capture).
+
+TPU-native fast path: repeating one image over frames makes every frame of
+the inversion identical (temporal layers are identity at init, GroupNorm and
+cross-frame attention are frame-symmetric over identical frames), so the
+inversion runs on a SINGLE frame — ~16x less compute — and the trajectory is
+tiled back to num_frames on save, byte-identical to the reference's
+``ddim_latents_{i}.pt`` layout (exactness: tests/test_style_singleton.py)."""
 
 from __future__ import annotations
 
@@ -25,6 +32,11 @@ def main(args):
     if args.seed is not None:
         seed_everything(args.seed)
 
+    num_frames_out = args.num_frames
+    single = args.backbone != "animatediff"
+    if single:
+        # invert one frame; all repeated frames evolve identically
+        args = argparse.Namespace(**{**vars(args), "num_frames": 1})
     pipe = build_pipeline_from_args(args)
     name = os.path.basename(args.style_path).split(".")[0]
     paths = make_output_tree(args.output_path, args.backbone, name)
@@ -35,11 +47,16 @@ def main(args):
 
     print("inversion:")
     traj, _ = pipe.invert(latents, context, num_steps=args.time_steps, is_opt=args.is_opt)
-    save_trajectory(np.asarray(traj), paths["inversion"])
+    traj_np = np.asarray(traj)
+    if single and num_frames_out > 1:
+        traj_np = np.tile(traj_np, (1, num_frames_out, 1, 1, 1))
+    save_trajectory(traj_np, paths["inversion"])
 
     print("reconstruction:")
     lat0 = pipe.reconstruct_latents(traj[-1], context, num_steps=args.time_steps)
     video = np.asarray(pipe.decode_latents(lat0))
+    if single and num_frames_out > 1:
+        video = np.tile(video, (num_frames_out, 1, 1, 1))
     save_video(video, os.path.join(paths["reconstruction"], "style_video.mp4"), fps=8)
     print(f"done -> {paths['base']}")
 

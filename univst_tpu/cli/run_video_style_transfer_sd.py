@@ -32,6 +32,11 @@ def main(args):
     # trajectories ordered so index i holds latents at inversion step N-i
     content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
     style_rev = load_trajectory(args.style_inv_path, args.time_steps, reverse=True)
+    if pipe.style_singleton and args.smoother is None:
+        # style-trajectory frames are identical by construction (a repeated
+        # style image); ship one frame per step to the device (16x less
+        # host->device traffic) and let the singleton fast path run
+        style_rev = style_rev[:, :1]
 
     # init latent shift (run_video_style_transfer_sd.py:55-57); the
     # AnimateDiff runner passes the raw content noise instead

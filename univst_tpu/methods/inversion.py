@@ -117,8 +117,11 @@ def ddim_sample_segment(denoise: Callable, latent, steps, ts,
     return out
 
 
-def ddim_sample(denoise: Callable, latents_T, schedule: DDIMSchedule, num_steps: int,
-                guidance_scale: float = 1.0):
+def ddim_sample(denoise: Callable, latents_T, schedule: DDIMSchedule, num_steps: int):
+    """xT -> x0 reconstruction. Classifier-free guidance lives in the
+    pipeline's denoise closure (SDVideoPipeline.reconstruct_latents wraps the
+    UNet with the uncond/cond split when guidance_scale > 1, mirroring
+    reference stable_diffusion.py:560-614)."""
     ts = jnp.asarray(schedule.timesteps(num_steps).copy())  # descending
     return ddim_sample_segment(denoise, latents_T, jnp.arange(num_steps), ts,
                                schedule, num_steps)

@@ -43,6 +43,7 @@ def style_transfer_ddim_steps(
     schedule: DDIMSchedule,
     cfg: StyleTransferConfig,
     mask=None,
+    style_kv=None,
 ):
     """Run a contiguous segment of the stylization loop (steps/ts arrays of
     length K, trajectory chunks [K, F, h, w, C]).
@@ -50,13 +51,26 @@ def style_transfer_ddim_steps(
     Exists so the host can split the 50-step loop into segments: the remote
     TPU tunnel enforces a ~2 min per-execution watchdog, and the full 3-branch
     50-step scan exceeds it. One compiled graph serves every segment (same
-    shapes; the step indices are data)."""
+    shapes; the step indices are data).
+
+    Two denoiser layouts:
+      * ``style_kv=None``: legacy 3-branch — ``denoise3([3F], t, i)``; the
+        style branch rides the batch (``style_chunk`` is [K, F, h, w, C]).
+      * ``style_kv`` given (pytree with leading axis K): 2-branch —
+        ``denoise3([2F], t, i, kv_t)`` with the style branch's per-step PnP
+        K/V injected; ``style_chunk`` is [K, 1, h, w, C] (style frames are
+        identical, see pipelines/sd.py style pre-pass) and is still consumed
+        by the latent AdaIN re-anchor below.
+    """
     n = cfg.num_steps
     f, h, w, c = latents.shape
     m = None if mask is None else _resize_mask(mask, h, w).astype(latents.dtype)
 
     def step(latents, inputs):
-        i, t, cnt_t, sty_t = inputs
+        if style_kv is None:
+            i, t, cnt_t, sty_t = inputs
+        else:
+            i, t, cnt_t, sty_t, kv_t = inputs
         cnt_t = cnt_t.astype(latents.dtype)
         sty_t = sty_t.astype(latents.dtype)
         fi = i.astype(jnp.float32)
@@ -71,13 +85,19 @@ def style_transfer_ddim_steps(
         gate = jnp.logical_and(fi > cfg.adain_lo * n, fi <= cfg.adain_hi * n)
         latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
 
-        x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
-        eps3 = denoise3(x3, t, i)
-        eps = eps3[2 * f :]
+        if style_kv is None:
+            x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
+            eps = denoise3(x3, t, i)[2 * f :]
+        else:
+            x2 = jnp.concatenate([cnt_t, latents], axis=0)
+            eps = denoise3(x2, t, i, kv_t)[f:]
         latents = schedule.step(eps, t, latents, n)
         return latents, None
 
-    out, _ = jax.lax.scan(step, latents, (steps, ts, content_chunk, style_chunk))
+    xs = (steps, ts, content_chunk, style_chunk)
+    if style_kv is not None:
+        xs = xs + (style_kv,)
+    out, _ = jax.lax.scan(step, latents, xs)
     return out
 
 

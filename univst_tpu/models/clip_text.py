@@ -114,17 +114,28 @@ class CLIPLayer(nn.Module):
 
 
 class CLIPTextModel(nn.Module):
-    """Returns (last_hidden_state, pooled) like HF CLIPTextModel[WithProjection].
+    """Returns (hidden_state, pooled) like HF CLIPTextModel[WithProjection].
 
-    The pooled output takes the hidden state at the *last* EOS token position
-    (argmax-style pooling is emulated by the caller passing eos positions).
+    ``hidden_state_index`` selects which hidden state to return, indexing the
+    HF-style ``output_hidden_states`` list (embeddings output + each layer
+    output, num_layers+1 entries, no final LayerNorm applied):
+      * ``None`` — the final-LayerNormed last layer (HF ``last_hidden_state``;
+        what SD-1.5/2.1 consume).
+      * ``-2`` — the penultimate hidden state, which diffusers'
+        SD3/SDXL ``encode_prompt`` uses (``clip_skip=None`` maps to
+        ``hidden_states[-2]``; ``clip_skip=k`` to ``hidden_states[-(k+2)]``) —
+        the semantics the reference inherits via
+        video_diffusion_sd3/pipelines/custom_pipeline.py:17.
+
+    The pooled output always comes from the final-normed last layer at the
+    first EOS position (HF pooling), regardless of ``hidden_state_index``.
     """
 
     cfg: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids):
+    def __call__(self, input_ids, hidden_state_index: Optional[int] = None):
         cfg = self.cfg
         b, l = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="token_embedding")(
@@ -138,8 +149,10 @@ class CLIPTextModel(nn.Module):
         )
         x = tok + pos[None, :l].astype(self.dtype)
         causal = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)[None, None]
+        hidden_states = [x]
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, self.dtype, name=f"layer_{i}")(x, causal)
+            hidden_states.append(x)
         x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
         # pooled: hidden state at the first EOS position per sequence
         eos_pos = jnp.argmax((input_ids == EOS_TOKEN).astype(jnp.int32), axis=1)
@@ -148,7 +161,8 @@ class CLIPTextModel(nn.Module):
             pooled = nn.Dense(
                 cfg.projection_dim, use_bias=False, dtype=self.dtype, name="text_projection"
             )(pooled)
-        return x, pooled
+        out = x if hidden_state_index is None else hidden_states[hidden_state_index]
+        return out, pooled
 
 
 class Tokenizer:

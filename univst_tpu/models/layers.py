@@ -23,7 +23,12 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from univst_tpu.attention.ops import apply_style_shift, mha, video_mha
+from univst_tpu.attention.ops import (
+    apply_style_shift,
+    apply_style_shift_injected,
+    mha,
+    video_mha,
+)
 from univst_tpu.core.config import FrameIndex, StyleShiftConfig
 
 
@@ -44,10 +49,27 @@ class VideoCtx:
 
 @flax.struct.dataclass
 class StyleCtx:
-    """Per-step stylization context (replaces register_time + patched attn)."""
+    """Per-step stylization context (replaces register_time + patched attn).
+
+    Three modes for the PnP attn1 layers:
+      * plain shift (``cfg`` set): the legacy 3-branch batch
+        [content | style | stylized]; the shift reads the style chunk in-batch.
+      * inject (``style_kv`` set): 2-branch batch [content | stylized]; the
+        style branch's projected K/V arrive precomputed per PnP slot — valid
+        because style-trajectory frames are identical (a repeated style image),
+        so the style branch runs once as a single frame (pipelines/sd.py
+        style pre-pass).
+      * capture (``capture=True``): sow the projected K/V of each PnP attn1
+        into the 'pnp_kv' collection; no shift applied (the style branch
+        itself is never shifted — reference pnp_utils.py:58-66 only replaces
+        the third chunk).
+    """
 
     step_idx: jnp.ndarray  # traced scalar int
     cfg: StyleShiftConfig = flax.struct.field(pytree_node=False, default=None)
+    # tuple over PNP_SLOT_ORDER of (k, v), each [1, L_slot, D_slot]
+    style_kv: Optional[Tuple] = None
+    capture: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def timestep_embedding(
@@ -148,6 +170,7 @@ class SelfAttention(nn.Module):
 
     num_heads: int
     apply_pnp: bool = False  # is this one of the 8 registered decoder attn1s?
+    pnp_slot: Optional[int] = None  # index into PNP_SLOT_ORDER / StyleCtx.style_kv
     zero_out_init: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -158,10 +181,19 @@ class SelfAttention(nn.Module):
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(x)
 
-        if self.apply_pnp and style_ctx is not None and style_ctx.cfg is not None:
-            q, k, v = apply_style_shift(
-                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
-            )
+        if self.apply_pnp and style_ctx is not None:
+            if style_ctx.capture:
+                self.sow("pnp_kv", f"slot_{self.pnp_slot}", (k, v))
+            elif style_ctx.style_kv is not None:
+                sk, sv = style_ctx.style_kv[self.pnp_slot]
+                q, k, v = apply_style_shift_injected(
+                    q, k, v, sk, sv, style_ctx.step_idx, style_ctx.cfg,
+                    video_ctx.num_frames,
+                )
+            elif style_ctx.cfg is not None:
+                q, k, v = apply_style_shift(
+                    q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
+                )
         if video_ctx.is_video and video_ctx.frame_indices:
             out = video_mha(
                 q, k, v, self.num_heads, video_ctx.num_frames,

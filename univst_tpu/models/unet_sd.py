@@ -41,6 +41,26 @@ from univst_tpu.models.layers import (
 PNP_UP_ATTENTIONS = frozenset(
     {(1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0), (3, 1), (3, 2)}
 )
+# Deterministic slot order for injected style K/V (execution order through the
+# decoder); slot i of StyleCtx.style_kv belongs to PNP_SLOT_ORDER[i].
+PNP_SLOT_ORDER = tuple(sorted(PNP_UP_ATTENTIONS))
+
+
+def extract_pnp_kv(pnp_vars) -> tuple:
+    """Flatten the sown 'pnp_kv' collection (apply(..., mutable=['pnp_kv']))
+    into PNP_SLOT_ORDER: a tuple of (k, v) pairs, one per PnP attn1 layer."""
+    found = {}
+
+    def rec(tree):
+        for key, val in tree.items():
+            if key.startswith("slot_"):
+                found[int(key[5:])] = val[0]  # sow wraps the value in a tuple
+            else:
+                rec(val)
+
+    rec(pnp_vars)
+    assert len(found) == len(PNP_SLOT_ORDER), sorted(found)
+    return tuple(found[i] for i in range(len(found)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +81,15 @@ class UNetSDConfig:
     # index of the up block whose output feeds mask propagation (C13);
     # None disables capture. Reference default: 2 (run_content_inversion_sd.py:88)
     capture_up_block: Optional[int] = None
+    # Elide the temporal layers entirely. In this training-free framework the
+    # temporal convs stay at their dirac-identity init and temporal attention
+    # at its zero-init output projection — 2D checkpoints never carry weights
+    # for them (load_2d_state_dict skips ``*_temporal`` keys, reference
+    # unet_3d_condition.py:493-509) and nothing trains them — so both are
+    # mathematically exact no-ops. Skipping them removes ~1/3 of conv FLOPs
+    # and all temporal-attention work. False keeps the full inflated
+    # architecture (used by equivalence tests).
+    temporal_identity: bool = False
 
     @staticmethod
     def sd15(**kw) -> "UNetSDConfig":
@@ -93,13 +122,16 @@ class TransformerBlock(nn.Module):
 
     num_heads: int
     apply_pnp: bool
+    temporal_attn: bool = True
+    pnp_slot: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, video_ctx: VideoCtx, style_ctx: Optional[StyleCtx]):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + SelfAttention(
-            self.num_heads, apply_pnp=self.apply_pnp, dtype=self.dtype, name="attn1"
+            self.num_heads, apply_pnp=self.apply_pnp, pnp_slot=self.pnp_slot,
+            dtype=self.dtype, name="attn1",
         )(h, video_ctx, style_ctx)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -108,7 +140,7 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = x + FeedForwardGEGLU(x.shape[-1], dtype=self.dtype, name="ff")(h)
 
-        if video_ctx.is_video:
+        if self.temporal_attn and video_ctx.is_video:
             h = nn.LayerNorm(dtype=self.dtype, name="norm_temporal")(x)
             x = x + TemporalSelfAttention(
                 self.num_heads, dtype=self.dtype, name="attn_temporal"
@@ -124,6 +156,8 @@ class SpatioTemporalTransformer(nn.Module):
     norm_num_groups: int
     use_linear_projection: bool
     apply_pnp: bool
+    temporal_attn: bool = True
+    pnp_slot: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,7 +173,8 @@ class SpatioTemporalTransformer(nn.Module):
         f = video_ctx.num_frames
         ctx = jnp.repeat(context, f, axis=0) if context.shape[0] != bf else context
         tokens = TransformerBlock(
-            self.num_heads, self.apply_pnp, dtype=self.dtype, name="block"
+            self.num_heads, self.apply_pnp, temporal_attn=self.temporal_attn,
+            pnp_slot=self.pnp_slot, dtype=self.dtype, name="block",
         )(tokens, ctx, video_ctx, style_ctx)
         h = tokens.reshape(bf, hh, ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
@@ -152,6 +187,7 @@ class ResnetBlockP3D(nn.Module):
 
     out_channels: int
     norm_num_groups: int
+    temporal: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -166,7 +202,9 @@ class ResnetBlockP3D(nn.Module):
             name="norm1",
         )(x)
         h = nn.silu(h)
-        h = PseudoConv3d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h, video_ctx)
+        h = PseudoConv3d(
+            self.out_channels, 3, temporal=self.temporal, dtype=self.dtype, name="conv1"
+        )(h, video_ctx)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         # temb is per-branch [B, C]; broadcast over frames and space
         t = jnp.repeat(t, video_ctx.num_frames, axis=0)
@@ -180,7 +218,9 @@ class ResnetBlockP3D(nn.Module):
             name="norm2",
         )(h)
         h = nn.silu(h)
-        h = PseudoConv3d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h, video_ctx)
+        h = PseudoConv3d(
+            self.out_channels, 3, temporal=self.temporal, dtype=self.dtype, name="conv2"
+        )(h, video_ctx)
         if c_in != self.out_channels:
             x = PseudoConv3d(self.out_channels, 1, dtype=self.dtype, name="conv_shortcut")(
                 x, video_ctx
@@ -199,11 +239,12 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, context, video_ctx, style_ctx):
+        tmp = not self.cfg.temporal_identity
         skips = []
         for i in range(self.num_layers):
             x = ResnetBlockP3D(
-                self.out_channels, self.cfg.norm_num_groups, dtype=self.dtype,
-                name=f"resnet_{i}",
+                self.out_channels, self.cfg.norm_num_groups, temporal=tmp,
+                dtype=self.dtype, name=f"resnet_{i}",
             )(x, temb, video_ctx)
             if self.has_attn:
                 x = SpatioTemporalTransformer(
@@ -211,13 +252,15 @@ class DownBlock(nn.Module):
                     self.cfg.norm_num_groups,
                     self.cfg.use_linear_projection,
                     apply_pnp=False,
+                    temporal_attn=tmp,
                     dtype=self.dtype,
                     name=f"attn_{i}",
                 )(x, context, video_ctx, style_ctx)
             skips.append(x)
         if self.add_downsample:
             x = PseudoConv3d(
-                self.out_channels, 3, strides=2, dtype=self.dtype, name="downsample"
+                self.out_channels, 3, strides=2, temporal=tmp, dtype=self.dtype,
+                name="downsample",
             )(x, video_ctx)
             skips.append(x)
         return x, skips
@@ -231,20 +274,22 @@ class MidBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, context, video_ctx, style_ctx):
         c = x.shape[-1]
-        x = ResnetBlockP3D(c, self.cfg.norm_num_groups, dtype=self.dtype, name="resnet_0")(
-            x, temb, video_ctx
-        )
+        tmp = not self.cfg.temporal_identity
+        x = ResnetBlockP3D(
+            c, self.cfg.norm_num_groups, temporal=tmp, dtype=self.dtype, name="resnet_0"
+        )(x, temb, video_ctx)
         x = SpatioTemporalTransformer(
             self.num_heads,
             self.cfg.norm_num_groups,
             self.cfg.use_linear_projection,
             apply_pnp=False,
+            temporal_attn=tmp,
             dtype=self.dtype,
             name="attn_0",
         )(x, context, video_ctx, style_ctx)
-        x = ResnetBlockP3D(c, self.cfg.norm_num_groups, dtype=self.dtype, name="resnet_1")(
-            x, temb, video_ctx
-        )
+        x = ResnetBlockP3D(
+            c, self.cfg.norm_num_groups, temporal=tmp, dtype=self.dtype, name="resnet_1"
+        )(x, temb, video_ctx)
         return x
 
 
@@ -260,26 +305,32 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skips, temb, context, video_ctx, style_ctx):
+        tmp = not self.cfg.temporal_identity
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlockP3D(
-                self.out_channels, self.cfg.norm_num_groups, dtype=self.dtype,
-                name=f"resnet_{i}",
+                self.out_channels, self.cfg.norm_num_groups, temporal=tmp,
+                dtype=self.dtype, name=f"resnet_{i}",
             )(x, temb, video_ctx)
             if self.has_attn:
+                is_pnp = (self.block_index, i) in PNP_UP_ATTENTIONS
                 x = SpatioTemporalTransformer(
                     self.num_heads,
                     self.cfg.norm_num_groups,
                     self.cfg.use_linear_projection,
-                    apply_pnp=(self.block_index, i) in PNP_UP_ATTENTIONS,
+                    apply_pnp=is_pnp,
+                    temporal_attn=tmp,
+                    pnp_slot=(
+                        PNP_SLOT_ORDER.index((self.block_index, i)) if is_pnp else None
+                    ),
                     dtype=self.dtype,
                     name=f"attn_{i}",
                 )(x, context, video_ctx, style_ctx)
         if self.add_upsample:
             x = upsample_nearest_2x(x)
-            x = PseudoConv3d(self.out_channels, 3, dtype=self.dtype, name="upsample")(
-                x, video_ctx
-            )
+            x = PseudoConv3d(
+                self.out_channels, 3, temporal=tmp, dtype=self.dtype, name="upsample"
+            )(x, video_ctx)
         return x
 
 
@@ -315,7 +366,10 @@ class UNetPseudo3D(nn.Module):
             t_emb.astype(self.dtype)
         )
 
-        x = PseudoConv3d(ch0, 3, dtype=self.dtype, name="conv_in")(x, video_ctx)
+        tmp = not cfg.temporal_identity
+        x = PseudoConv3d(ch0, 3, temporal=tmp, dtype=self.dtype, name="conv_in")(
+            x, video_ctx
+        )
 
         skips = [x]
         for bi in range(n_blocks):
@@ -368,5 +422,7 @@ class UNetPseudo3D(nn.Module):
             name="conv_norm_out",
         )(x)
         x = nn.silu(x)
-        x = PseudoConv3d(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(x, video_ctx)
+        x = PseudoConv3d(
+            cfg.out_channels, 3, temporal=tmp, dtype=self.dtype, name="conv_out"
+        )(x, video_ctx)
         return x, captured

@@ -111,4 +111,8 @@ def build_animatediff(
         style_shift_cfg=AD_STYLE_SHIFT,
         base_frame_indices=(),
         pnp_frame_indices=(),
+        # motion modules add per-frame positional encodings
+        # (motion_module.py:52-86) — style frames are NOT identical, so the
+        # single-frame style fast path does not apply
+        style_singleton=False,
     )

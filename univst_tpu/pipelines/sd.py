@@ -65,6 +65,12 @@ class SDVideoPipeline:
     style_shift_cfg: StyleShiftConfig = SD_STYLE_SHIFT
     base_frame_indices: tuple = SD_BASE_FRAME_INDICES
     pnp_frame_indices: tuple = SD_PNP_FRAME_INDICES
+    # Run the style branch as a single frame with its PnP K/V precomputed for
+    # all steps in one batched pre-pass (exact: style-trajectory frames are
+    # identical — the style image is repeated, ddim_inversion.py:51, and
+    # inversion is frame-symmetric). False for AnimateDiff, whose motion
+    # modules add per-frame positional encodings that break frame identity.
+    style_singleton: bool = True
 
     # -- construction --------------------------------------------------------
 
@@ -91,7 +97,10 @@ class SDVideoPipeline:
         if unet_cfg is None:
             mk = {"sd15": UNetSDConfig.sd15, "sd21": UNetSDConfig.sd21,
                   "tiny": UNetSDConfig.tiny}[variant]
-            unet_cfg = mk(capture_up_block=capture_up_block)
+            # temporal layers stay at their identity init in this
+            # training-free framework (2D checkpoints carry no temporal
+            # weights; load_2d_state_dict skips them) — elide them
+            unet_cfg = mk(capture_up_block=capture_up_block, temporal_identity=True)
         elif capture_up_block is not None:
             unet_cfg = dataclasses.replace(unet_cfg, capture_up_block=capture_up_block)
         if vae_cfg is None:
@@ -187,9 +196,9 @@ class SDVideoPipeline:
                     style_cfg: Optional[StyleShiftConfig]):
         vctx = VideoCtx(num_frames=self.num_frames, frame_indices=frame_indices)
 
-        def denoise(latents, t, step_idx):
+        def denoise(latents, t, step_idx, style_kv=None):
             sctx = (
-                StyleCtx(step_idx=step_idx, cfg=style_cfg)
+                StyleCtx(step_idx=step_idx, cfg=style_cfg, style_kv=style_kv)
                 if style_cfg is not None
                 else None
             )
@@ -241,11 +250,30 @@ class SDVideoPipeline:
         trajectory = jnp.concatenate([latents[None]] + chunks, axis=0)
         return trajectory, carry[2]
 
-    def reconstruct_latents(self, latents_T, context, num_steps: int = 50):
+    def reconstruct_latents(self, latents_T, context, num_steps: int = 50,
+                            guidance_scale: float = 1.0, uncond_context=None):
+        """xT -> x0 reconstruction with classifier-free guidance.
+
+        The reference ``reconstruction()`` always runs the uncond/cond double
+        batch (stable_diffusion.py:560-614) but its drivers pass
+        ``guidance_scale=1.0`` (ddim_inversion.py:40,63), where CFG is
+        mathematically the identity — so the doubled batch is skipped at
+        scale 1 as a pure optimization. ``guidance_scale > 1`` runs the
+        faithful [uncond | cond] batch; ``uncond_context`` defaults to the
+        null-prompt embedding."""
         chunk = self._exec_chunk(num_steps)
         ts = jnp.asarray(self.schedule.timesteps(num_steps).copy())
         steps = jnp.arange(num_steps)
         latent = latents_T.astype(jnp.float32)
+        if guidance_scale > 1.0:
+            uc = uncond_context if uncond_context is not None else self.encode_text("")
+            context2 = jnp.concatenate([uc, context], axis=0)
+            for s0 in range(0, num_steps, chunk):
+                latent = _reconstruct_segment_cfg(
+                    self, self.unet_params, latent, steps[s0 : s0 + chunk],
+                    ts[s0 : s0 + chunk], context2, num_steps, float(guidance_scale),
+                )
+            return latent
         for s0 in range(0, num_steps, chunk):
             latent = _reconstruct_segment(
                 self, self.unet_params, latent, steps[s0 : s0 + chunk],
@@ -277,6 +305,30 @@ class SDVideoPipeline:
         steps_full = jnp.arange(n)
         latents = init_latents.astype(jnp.float32)
         smooth_lo, smooth_hi = cfg.smoother_steps
+
+        # Style-singleton fast path: one batched pre-pass computes the style
+        # branch's PnP K/V for all n steps; the scan then runs the 2-branch
+        # [content | stylized] batch. Exact — see the style_singleton field.
+        if self.style_singleton and cfg.smoother is None:
+            sty_lats = style_traj_rev[:n, :1]  # [n, 1, h, w, C]
+            style_kv_all = _style_prepass(
+                self, self.unet_params, sty_lats[:, 0], ts_full, context3[1:2]
+            )
+            context2 = context3[jnp.asarray([0, 2])]
+            for s0 in range(0, n, chunk):
+                sl = slice(s0, s0 + chunk)
+                latents = _stylize_chunk_singleton(
+                    self, self.unet_params, content_traj_rev[sl], sty_lats[sl],
+                    jax.tree_util.tree_map(lambda a: a[sl], style_kv_all),
+                    latents, steps_full[sl], ts_full[sl], context2, mask, cfg, scfg,
+                )
+            return latents
+
+        # Legacy 3-branch batch (AnimateDiff; SD with the pixel smoother).
+        if style_traj_rev.shape[1] == 1 and self.num_frames > 1:
+            style_traj_rev = jnp.broadcast_to(
+                style_traj_rev, style_traj_rev.shape[:1] + content_traj_rev.shape[1:]
+            )
         for s0 in range(0, n, chunk):
             seg = range(s0, s0 + chunk)
             if cfg.smoother == "pixel" and any(
@@ -356,6 +408,24 @@ def _reconstruct_segment(pipe, unet_params, latent, steps, ts, context, num_step
     return inv.ddim_sample_segment(denoise, latent, steps, ts, pipe.schedule, num_steps)
 
 
+@partial(jax.jit, static_argnames=("pipe", "num_steps", "guidance_scale"))
+def _reconstruct_segment_cfg(pipe, unet_params, latent, steps, ts, context2,
+                             num_steps, guidance_scale):
+    """Classifier-free-guidance reconstruction segment: the [uncond | cond]
+    double batch and eps combination of the reference reconstruction loop
+    (stable_diffusion.py:588-614)."""
+    denoise = pipe._denoise_fn(unet_params, context2, pipe.base_frame_indices, None)
+
+    def denoise_cfg(lat, t, i):
+        f = lat.shape[0]
+        eps2, _ = denoise(jnp.concatenate([lat, lat], axis=0), t, i)
+        eps_u, eps_c = eps2[:f], eps2[f:]
+        return eps_u + guidance_scale * (eps_c - eps_u), None
+
+    return inv.ddim_sample_segment(denoise_cfg, latent, steps, ts, pipe.schedule,
+                                   num_steps)
+
+
 @partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
 def _stylize_smooth_step(pipe, unet_params, vae_params, cnt_t, sty_t, latents,
                          i, t, context3, mask, cfg, style_cfg):
@@ -418,4 +488,56 @@ def _stylize_chunk(pipe, unet_params, content_chunk, style_chunk, latents,
     return style_transfer_ddim_steps(
         denoise3, content_chunk, style_chunk, latents.astype(jnp.float32),
         steps, ts, pipe.schedule, cfg, mask=mask,
+    )
+
+
+@partial(jax.jit, static_argnames=("pipe",))
+def _style_prepass(pipe, unet_params, style_lats, ts, context):
+    """Precompute the style branch's projected PnP K/V for ALL steps in one
+    batched single-frame call (valid because style-trajectory frames are
+    identical; see SDVideoPipeline.style_singleton). One batch-n call replaces
+    n full style-branch forwards — a 1/3 FLOP cut on the reference's 3-branch
+    step (stable_diffusion.py:704-710).
+
+    Args:
+      style_lats: ``[n, h, w, C]`` — frame 0 of the reversed style trajectory
+        at each step.
+      ts: ``[n]`` per-step timesteps.
+      context: ``[1, 77, Dt]`` style-branch text embedding.
+    Returns: tuple over PNP_SLOT_ORDER of (k, v), each ``[n, L, D]``.
+    """
+    from univst_tpu.models.unet_sd import extract_pnp_kv
+
+    n = style_lats.shape[0]
+    vctx = VideoCtx(num_frames=1, frame_indices=())
+    sctx = StyleCtx(step_idx=jnp.zeros((), jnp.int32), cfg=pipe.style_shift_cfg,
+                    capture=True)
+    ctxn = jnp.broadcast_to(context, (n,) + context.shape[1:])
+    _, state = pipe.unet.apply(
+        {"params": unet_params},
+        style_lats.astype(pipe.dtype),
+        ts,
+        ctxn.astype(pipe.dtype),
+        vctx,
+        sctx,
+        mutable=["pnp_kv"],
+    )
+    return extract_pnp_kv(state["pnp_kv"])
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
+def _stylize_chunk_singleton(pipe, unet_params, content_chunk, style_lat_chunk,
+                             style_kv_chunk, latents, steps, ts, context2, mask,
+                             cfg, style_cfg):
+    denoise = pipe._denoise_fn(unet_params, context2, pipe.pnp_frame_indices, style_cfg)
+
+    def denoise2(x2, t, i, kv):
+        # scan unstacks the leading step axis; injected K/V wants [1, L, D]
+        kv = jax.tree_util.tree_map(lambda a: a[None], kv)
+        eps, _ = denoise(x2, t, i, style_kv=kv)
+        return eps
+
+    return style_transfer_ddim_steps(
+        denoise2, content_chunk, style_lat_chunk, latents.astype(jnp.float32),
+        steps, ts, pipe.schedule, cfg, mask=mask, style_kv=style_kv_chunk,
     )

@@ -62,6 +62,11 @@ class SD3VideoPipeline:
     num_frames: int
     dtype: jnp.dtype = jnp.bfloat16
     max_sequence_length: int = 256
+    # diffusers clip_skip semantics: CLIP context comes from
+    # hidden_states[-(clip_skip + 2)] — the PENULTIMATE layer by default, not
+    # the final-normed output (SD3.encode_prompt behavior the reference
+    # inherits via custom_pipeline.py:17). None == 0.
+    clip_skip: Optional[int] = None
 
     @classmethod
     def build(
@@ -338,8 +343,10 @@ class SD3VideoPipeline:
 
 @partial(jax.jit, static_argnames=("pipe",))
 def _encode_prompt(pipe, lp, gp, tp, ids, ids3):
-    hl, pl = pipe.clip_l.apply({"params": lp}, ids)
-    hg, pg = pipe.clip_g.apply({"params": gp}, ids)
+    # diffusers SD3 takes the penultimate CLIP hidden state (clip_skip analog)
+    hs_index = -((pipe.clip_skip or 0) + 2)
+    hl, pl = pipe.clip_l.apply({"params": lp}, ids, hs_index)
+    hg, pg = pipe.clip_g.apply({"params": gp}, ids, hs_index)
     ht = pipe.t5.apply({"params": tp}, ids3)
     clip = jnp.concatenate([hl, hg], axis=-1)
     pad = pipe.mmdit.cfg.joint_attention_dim - clip.shape[-1]
