@@ -88,7 +88,7 @@ def main():
         out = pipe.stylize_latents(
             content_rev, style_rev, init, context3, mask=mask, cfg=cfg
         )
-        px = pipe.decode_latents(out)
+        px = pipe.decode_latents_uint8(out)  # PNG-bound output; 4x less transfer
         return np.asarray(px)  # force full sync through the tunnel
 
     t0 = time.time()
@@ -116,38 +116,46 @@ def main():
     inv_steps_per_sec = steps / (time.time() - t0)
 
     # ---- secondary: effective TFLOPS / MFU of the stylization loop ---------
-    # FLOPs from XLA cost analysis of the compiled per-chunk stylization graph.
+    # Matmul/conv FLOPs counted from the traced jaxpr (utils/flops.py) — the
+    # XLA cost-analysis surface is unreliable through the remote-TPU relay.
+    # The fused Pallas attention is opaque to the jaxpr, so tracing happens
+    # with UNIVST_DISABLE_FLASH=1 (the XLA formulation computes the same
+    # attention FLOPs). Denominator = the full measured run incl. VAE decode
+    # (slightly conservative for the loop's own MFU).
     eff_tflops = mfu = None
     try:
+        import os as _os
+
+        import jax.tree_util as jtu
+
         from univst_tpu.pipelines.sd import (
             _style_prepass,
             _stylize_chunk_singleton,
         )
+        from univst_tpu.utils.flops import count_matmul_flops
 
         chunk = pipe._exec_chunk(steps)
         ts_full = jnp.asarray(pipe.schedule.timesteps(steps).copy())
         sty_lats = style_rev[:steps, :1]
         kv = _style_prepass(pipe, pipe.unet_params, sty_lats[:, 0], ts_full,
                             context3[1:2])
-        sl = slice(0, chunk)
-        import jax.tree_util as jtu
-
-        lowered = _stylize_chunk_singleton.lower(
-            pipe, pipe.unet_params, content_rev[sl], sty_lats[sl],
-            jtu.tree_map(lambda a: a[sl], kv), init, jnp.arange(chunk),
-            ts_full[sl], context3[jnp.asarray([0, 2])], mask, cfg, None,
-        )
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_per_chunk = float(cost.get("flops", 0.0))
-        if flops_per_chunk > 0:
-            total_flops = flops_per_chunk * (steps / chunk)
-            loop_time = best  # decode included; slightly conservative
-            eff_tflops = total_flops / loop_time / 1e12
-            mfu = eff_tflops / _peak_tflops(dev)
-    except Exception as e:  # cost analysis may be unavailable via the tunnel
-        print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
+        _os.environ["UNIVST_DISABLE_FLASH"] = "1"
+        try:
+            flops_per_chunk = count_matmul_flops(
+                lambda *a: _stylize_chunk_singleton(
+                    pipe, *a, mask, cfg, None, chunk
+                ),
+                pipe.unet_params, content_rev[:steps], sty_lats, kv, init,
+                jnp.arange(steps), ts_full, jnp.asarray(0, jnp.int32),
+                context3[jnp.asarray([0, 2])],
+            )
+        finally:
+            del _os.environ["UNIVST_DISABLE_FLASH"]
+        total_flops = flops_per_chunk * (steps / chunk)
+        eff_tflops = total_flops / best / 1e12
+        mfu = eff_tflops / _peak_tflops(dev)
+    except Exception as e:
+        print(f"# flop counting failed: {e!r}", file=sys.stderr)
 
     result = {
         "metric": "end-to-end stylized frames/sec/chip (SD1.5 @512, 50 steps)"

@@ -143,3 +143,39 @@ def test_dual_attention_variant():
     np.testing.assert_allclose(np.asarray(out_style[: 2 * F]),
                                np.asarray(out_plain[: 2 * F]), atol=2e-5)
     assert np.abs(np.asarray(out_style[2 * F:]) - np.asarray(out_plain[2 * F:])).max() > 1e-5
+
+
+def test_sd3_style_singleton_matches_3branch():
+    """SD3 2-branch + in-scan single-frame style capture == legacy 3-branch
+    (identical style frames; MMDiT has no per-frame positional state)."""
+    import dataclasses
+
+    from univst_tpu.core.config import StyleTransferConfig
+    from univst_tpu.pipelines.sd3 import SD3VideoPipeline
+
+    F, size, steps = 4, 64, 4
+    pipe = SD3VideoPipeline.build(
+        variant="tiny", num_frames=F, height=size, width=size, dtype=jnp.float32
+    )
+    rng = np.random.default_rng(0)
+    h8 = size // 8
+    content = jnp.asarray(rng.standard_normal((steps + 1, F, h8, h8, 16)), jnp.float32)
+    sty1 = rng.standard_normal((steps + 1, 1, h8, h8, 16)).astype(np.float32)
+    style = jnp.asarray(np.tile(sty1, (1, F, 1, 1, 1)))
+    init = jnp.asarray(rng.standard_normal((F, h8, h8, 16)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((F, h8, h8, 16)), jnp.float32)
+    mask = jnp.asarray((rng.random((F, size, size)) > 0.5).astype(np.float32))
+    ctx, pooled = pipe.encode_prompt("")
+    ctx3 = jnp.concatenate([ctx] * 3, 0)
+    pooled3 = jnp.concatenate([pooled] * 3, 0)
+    cfg = StyleTransferConfig(num_steps=steps)
+    out_new = pipe.stylize_latents(
+        content, style, init, img, ctx3, pooled3, mask=mask, cfg=cfg
+    )
+    legacy = dataclasses.replace(pipe, style_singleton=False)
+    out_old = legacy.stylize_latents(
+        content, style, init, img, ctx3, pooled3, mask=mask, cfg=cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_new), np.asarray(out_old), rtol=1e-4, atol=2e-4
+    )

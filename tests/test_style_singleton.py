@@ -50,6 +50,41 @@ def test_temporal_identity_elision_is_exact():
     )
 
 
+def test_unpatched_layers_keep_default_indices():
+    """Reference patches ONLY the 8 decoder attn1 layers with [-1,'first'];
+    unpatched layers keep the model default [-1,0,'first'] during stylization
+    (pnp_utils.py:104-111 vs models/attention.py:356). The pnp_frame_indices
+    field must affect only PnP layers, and only while a StyleCtx is active."""
+    from univst_tpu.core.config import SD_PNP_FRAME_INDICES, SD_STYLE_SHIFT
+    from univst_tpu.models.layers import StyleCtx
+
+    f = 4
+    x, ctx = _tiny_unet_io(f)
+    x2 = jnp.concatenate([x, x * 0.5, x * 0.2], axis=0)  # [3F] legacy batch
+    ctx2 = jnp.concatenate([ctx, ctx, ctx], axis=0)
+    cfg = UNetSDConfig.tiny(temporal_identity=True)
+    unet = UNetPseudo3D(cfg, dtype=jnp.float32)
+    mixed = VideoCtx(num_frames=f, frame_indices=SD_BASE_FRAME_INDICES,
+                     pnp_frame_indices=SD_PNP_FRAME_INDICES)
+    all_pnp = VideoCtx(num_frames=f, frame_indices=SD_PNP_FRAME_INDICES,
+                       pnp_frame_indices=SD_PNP_FRAME_INDICES)
+    params = unet.init(jax.random.PRNGKey(0), x2, jnp.asarray(0), ctx2, mixed)[
+        "params"
+    ]
+    sctx = StyleCtx(step_idx=jnp.asarray(1), cfg=SD_STYLE_SHIFT)
+
+    def run(vctx, sc):
+        out, _ = unet.apply({"params": params}, x2, jnp.asarray(301), ctx2, vctx, sc)
+        return np.asarray(out)
+
+    # active StyleCtx: unpatched layers see 3 sources under `mixed` but only
+    # 2 under `all_pnp` -> outputs differ
+    assert np.abs(run(mixed, sctx) - run(all_pnp, sctx)).max() > 1e-6
+    # no StyleCtx (inversion): pnp_frame_indices must be inert
+    base_only = VideoCtx(num_frames=f, frame_indices=SD_BASE_FRAME_INDICES)
+    np.testing.assert_array_equal(run(mixed, None), run(base_only, None))
+
+
 def _stylize_setup(steps=6, f=4, size=64, dtype=jnp.float32):
     pipe = SDVideoPipeline.build(
         variant="tiny", num_frames=f, height=size, width=size, dtype=dtype

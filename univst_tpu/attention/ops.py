@@ -52,9 +52,47 @@ def resolve_frame_indices(
     return tuple(out)
 
 
+def _select_frames(xv, index: FrameIndex, frame_axis: int):
+    """Per-frame source selection as SLICE / SHIFT / BROADCAST ops — no
+    advanced-indexing gather. Semantically identical to indexing with
+    :func:`resolve_frame_indices` (clip-to-edge int offsets; 'first'/'last'/
+    'mid' broadcasts), but lowers to sharding-friendly HLO: under a
+    frame-sharded GSPMD partition a broadcast moves ONE frame and a +/-k shift
+    is a k-frame halo exchange (collective-permute), where the gather form
+    all-gathers the whole tensor (the failure mode SURVEY §5 calls out).
+    """
+    ax = frame_axis
+    f = xv.shape[ax]
+
+    def take(lo, hi):
+        return jax.lax.slice_in_dim(xv, lo, hi, axis=ax)
+
+    if isinstance(index, str):
+        if index == "first":
+            src = take(0, 1)
+        elif index == "last":
+            src = take(f - 1, f)
+        elif index in ("mid", "middle"):
+            m = (f - 1) // 2
+            src = take(m, m + 1)
+        else:
+            raise ValueError(f"unknown frame index {index!r}")
+        return jnp.broadcast_to(src, xv.shape)
+    k = int(index)
+    if k == 0 or f == 1:
+        return xv
+    k = max(-f + 1, min(k, f - 1))
+    if k < 0:
+        edge = jnp.broadcast_to(take(0, 1), xv.shape[:ax] + (-k,) + xv.shape[ax + 1:])
+        return jnp.concatenate([edge, take(0, f + k)], axis=ax)
+    edge = jnp.broadcast_to(take(f - 1, f), xv.shape[:ax] + (k,) + xv.shape[ax + 1:])
+    return jnp.concatenate([take(k, f), edge], axis=ax)
+
+
 def cross_frame_kv(x, num_frames: int, indices: Sequence[FrameIndex]):
     """Sparse-causal KV expansion: each frame's KV tokens become the
-    concatenation of the KV tokens of the frames selected by ``indices``.
+    concatenation of the KV tokens of the frames selected by ``indices``
+    (reference semantics: video_diffusion_sd/models/attention.py:388-410).
 
     Args:
       x: ``[B * F, L, D]`` key or value tensor.
@@ -67,7 +105,7 @@ def cross_frame_kv(x, num_frames: int, indices: Sequence[FrameIndex]):
     bf, l, d = x.shape
     b = bf // num_frames
     xv = x.reshape(b, num_frames, l, d)
-    gathers = [xv[:, fi] for fi in resolve_frame_indices(indices, num_frames)]
+    gathers = [_select_frames(xv, fi, frame_axis=1) for fi in indices]
     out = jnp.concatenate(gathers, axis=2)
     return out.reshape(bf, l * len(indices), d)
 
@@ -81,7 +119,7 @@ def cross_frame_kv_heads(x, num_frames: int, indices: Sequence[FrameIndex]):
     bf, h, n, dh = x.shape
     b = bf // num_frames
     xv = x.reshape(b, num_frames, h, n, dh)
-    gathers = [xv[:, fi] for fi in resolve_frame_indices(indices, num_frames)]
+    gathers = [_select_frames(xv, fi, frame_axis=1) for fi in indices]
     out = jnp.concatenate(gathers, axis=3)
     return out.reshape(bf, h, n * len(indices), dh)
 
@@ -175,6 +213,35 @@ def apply_style_shift_sd3(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: 
     q = jnp.concatenate([q[: 2 * f], q_out], axis=0)
     k = jnp.concatenate([k[: 2 * f], k_out], axis=0)
     v = jnp.concatenate([v[: 2 * f], v_out], axis=0)
+    return q, k, v
+
+
+def apply_style_shift_sd3_injected(
+    q, k, v, style_k, style_v, step_idx, cfg: StyleShiftConfig, num_frames: int
+):
+    """SD3 2-branch variant on per-head ``[2F, heads, N, Dh]`` tensors with the
+    style branch's K/V injected as ``[1, heads, N, Dh]`` (identical style
+    frames run once; see apply_style_shift_injected)."""
+    f = num_frames
+    gate = cfg.window_gate(step_idx)
+    beta = cfg.beta(step_idx).astype(jnp.float32)
+
+    q_cnt, q_sty = q[:f], q[f:]
+    k_sty, v_sty = k[f:], v[f:]
+    k_style = style_k.astype(jnp.float32)
+    v_style = style_v.astype(jnp.float32)
+
+    q_new = cfg.gamma * (cfg.alpha * q_cnt + (1.0 - cfg.alpha) * q_sty)
+    k_new = beta * attention_adain_sd3(k_sty, k_style) + (1.0 - beta) * k_style
+    v_new = beta * attention_adain_sd3(v_sty, v_style) + (1.0 - beta) * v_style
+
+    q_out = jnp.where(gate, q_new.astype(q.dtype), q_sty)
+    k_out = jnp.where(gate, k_new.astype(k.dtype), k_sty)
+    v_out = jnp.where(gate, v_new.astype(v.dtype), v_sty)
+
+    q = jnp.concatenate([q[:f], q_out], axis=0)
+    k = jnp.concatenate([k[:f], k_out], axis=0)
+    v = jnp.concatenate([v[:f], v_out], axis=0)
     return q, k, v
 
 

@@ -92,6 +92,9 @@ def build_pipeline_from_args(args, capture_up_block=None):
 
         return build_animatediff(
             motion_module_path=getattr(args, "motion_module_path", None),
+            dreambooth_path=getattr(args, "dreambooth_path", None),
+            lora_path=getattr(args, "lora_path", None),
+            lora_alpha=getattr(args, "lora_alpha", 0.8),
             variant="tiny" if args.variant == "tiny" else "ad",
             **kw,
         )

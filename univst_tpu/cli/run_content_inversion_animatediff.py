@@ -12,6 +12,12 @@ def build_parser():
     p.set_defaults(backbone="animatediff")
     p.add_argument("--motion_module_path", type=str, default=None,
                    help="AnimateDiff motion-module checkpoint (mm_sd_v15_v2.ckpt)")
+    p.add_argument("--dreambooth_path", type=str, default=None,
+                   help="personalized LDM .ckpt/.safetensors replacing the base "
+                        "UNet/VAE/CLIP (reference load_weights dreambooth_model_path)")
+    p.add_argument("--lora_path", type=str, default=None,
+                   help="webui-format LoRA merged into UNet/text-encoder weights")
+    p.add_argument("--lora_alpha", type=float, default=0.8)
     return p
 
 

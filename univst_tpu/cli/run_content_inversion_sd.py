@@ -38,7 +38,7 @@ def main(args):
     frames = load_video(args.content_path, args.num_frames, (args.width, args.height))
     key = jax.random.PRNGKey(args.seed or 0)
     latents = pipe.encode_frames(frames, key)
-    context = pipe.encode_text("")
+    context = pipe.encode_text(args.prompt)
 
     print("inversion:")
     traj, feat = pipe.invert(
@@ -73,6 +73,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=33)
     p.add_argument("--variant", type=str, default="sd15", choices=["sd15", "sd21", "tiny"])
     p.add_argument("--backbone", type=str, default="sd")
+    p.add_argument("--prompt", type=str, default="",
+                   help="inversion prompt (reference always uses ''; non-empty "
+                        "prompts need tokenizer files under --pretrained_model_path)")
     p.add_argument("--platform", type=str, default=None)
     return p
 

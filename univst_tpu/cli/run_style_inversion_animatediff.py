@@ -8,6 +8,9 @@ def build_parser():
     p = _sd.build_parser()
     p.set_defaults(backbone="animatediff")
     p.add_argument("--motion_module_path", type=str, default=None)
+    p.add_argument("--dreambooth_path", type=str, default=None)
+    p.add_argument("--lora_path", type=str, default=None)
+    p.add_argument("--lora_alpha", type=float, default=0.8)
     return p
 
 

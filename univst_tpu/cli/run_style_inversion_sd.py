@@ -43,7 +43,7 @@ def main(args):
 
     frames = load_style_image(args.style_path, args.num_frames, (args.width, args.height))
     latents = pipe.encode_frames(frames, jax.random.PRNGKey(args.seed or 0))
-    context = pipe.encode_text("")
+    context = pipe.encode_text(args.prompt)
 
     print("inversion:")
     traj, _ = pipe.invert(latents, context, num_steps=args.time_steps, is_opt=args.is_opt)
@@ -75,6 +75,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=33)
     p.add_argument("--variant", type=str, default="sd15", choices=["sd15", "sd21", "tiny"])
     p.add_argument("--backbone", type=str, default="sd")
+    p.add_argument("--prompt", type=str, default="",
+                   help="inversion prompt (reference always uses ''; non-empty "
+                        "prompts need tokenizer files under --pretrained_model_path)")
     p.add_argument("--platform", type=str, default=None)
     return p
 

@@ -1,5 +1,10 @@
 """Style-image rectified-flow inversion CLI (SD3/SD3.5 backbone).
-Rebuild of src/sd3/run_style_inversion_sd3.py."""
+Rebuild of src/sd3/run_style_inversion_sd3.py.
+
+TPU-native fast path (same as the SD variant): the repeated style image makes
+every frame of the inversion identical, so it runs on a SINGLE frame (~16x
+less compute) and the trajectory is tiled back to num_frames on save —
+byte-identical to the reference's on-disk layout."""
 
 from __future__ import annotations
 
@@ -21,6 +26,8 @@ def main(args):
     if args.seed is not None:
         seed_everything(args.seed)
 
+    num_frames_out = args.num_frames
+    args = argparse.Namespace(**{**vars(args), "num_frames": 1})
     pipe = build_sd3_pipeline(args)
     name = os.path.basename(args.style_path).split(".")[0]
     paths = make_output_tree(args.output_path, args.backbone, name)
@@ -34,7 +41,10 @@ def main(args):
         latents, context, pooled, num_steps=args.time_steps,
         is_rf_solver=args.is_rf_solver,
     )
-    save_trajectory(np.asarray(traj), paths["inversion"], reference_rank=4)
+    traj_np = np.asarray(traj)
+    if num_frames_out > 1:
+        traj_np = np.tile(traj_np, (1, num_frames_out, 1, 1, 1))
+    save_trajectory(traj_np, paths["inversion"], reference_rank=4)
 
     print("reconstruction:")
     lat0 = pipe.reconstruct_latents(
@@ -42,6 +52,8 @@ def main(args):
         eta_base=0.85, eta_trend="constant", start_step=25, end_step=39,
     )
     video = np.asarray(pipe.decode_latents(lat0))
+    if num_frames_out > 1:
+        video = np.tile(video, (num_frames_out, 1, 1, 1))
     save_video(video, os.path.join(paths["reconstruction"], "style_video.mp4"), fps=8)
     print(f"done -> {paths['base']}")
 

@@ -14,6 +14,9 @@ def build_parser():
         style_inv_path="results/styles-inv/animatediff/00033/inversion",
     )
     p.add_argument("--motion_module_path", type=str, default=None)
+    p.add_argument("--dreambooth_path", type=str, default=None)
+    p.add_argument("--lora_path", type=str, default=None)
+    p.add_argument("--lora_alpha", type=float, default=0.8)
     return p
 
 

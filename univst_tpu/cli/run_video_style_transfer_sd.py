@@ -28,6 +28,28 @@ def main(args):
         seed_everything(args.seed)
 
     pipe = build_pipeline_from_args(args)
+    if args.smoother and args.flow == "raft":
+        import dataclasses as _dc
+
+        import jax
+
+        from univst_tpu.models.convert import (
+            convert_raft,
+            load_torch_state_dict,
+            merge_into_params,
+        )
+        from univst_tpu.models.raft import RAFT, RAFTConfig, make_raft_flow
+
+        if not args.raft_ckpt:
+            raise SystemExit("--flow raft requires --raft_ckpt (torchvision "
+                             "Raft_Large_Weights or princeton-vl layout)")
+        rcfg = RAFTConfig()
+        zero = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        init = RAFT(rcfg).init(jax.random.PRNGKey(0), zero, zero)["params"]
+        rparams = merge_into_params(
+            init, convert_raft(load_torch_state_dict(args.raft_ckpt))
+        )
+        pipe = _dc.replace(pipe, flow_fn=make_raft_flow(rparams, rcfg))
 
     # trajectories ordered so index i holds latents at inversion step N-i
     content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
@@ -50,14 +72,14 @@ def main(args):
     if args.mask_path:
         mask = jnp.asarray(load_mask(args.mask_path, args.num_frames))
 
-    context = pipe.encode_text("")
+    context = pipe.encode_text(args.prompt)
     context3 = jnp.concatenate([context, context, context], axis=0)
 
     out = pipe.stylize_latents(
         content_rev, style_rev, init_latents, context3, mask=mask,
         cfg=StyleTransferConfig(num_steps=args.time_steps, smoother=args.smoother),
     )
-    frames = np.asarray(pipe.decode_latents(out))
+    frames = np.asarray(pipe.decode_latents_uint8(out))
 
     content_name = os.path.normpath(args.content_inv_path).split(os.sep)[-2]
     style_name = os.path.normpath(args.style_inv_path).split(os.sep)[-2]
@@ -85,8 +107,16 @@ def build_parser():
     p.add_argument("--smoother", type=str, default=None, choices=[None, "pixel"],
                    help="sliding-window flow smoother (the reference ships this "
                         "feature disabled; 'pixel' enables it)")
+    p.add_argument("--flow", type=str, default="lk", choices=["lk", "raft"],
+                   help="smoother optical flow: built-in Lucas-Kanade pyramid or "
+                        "RAFT-large (the reference's flow, cal_optica_flow.py:53)")
+    p.add_argument("--raft_ckpt", type=str, default=None,
+                   help="RAFT checkpoint (torchvision Raft_Large_Weights or "
+                        "princeton-vl .pth) for --flow raft")
     p.add_argument("--variant", type=str, default="sd15", choices=["sd15", "sd21", "tiny"])
     p.add_argument("--backbone", type=str, default="sd")
+    p.add_argument("--prompt", type=str, default="",
+                   help="shared 3-branch prompt (reference uses '')")
     p.add_argument("--platform", type=str, default=None)
     return p
 

@@ -33,6 +33,10 @@ def main(args):
 
     content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
     style_rev = load_trajectory(args.style_inv_path, args.time_steps, reverse=True)
+    if pipe.style_singleton:
+        # style-trajectory frames are identical (repeated style image) —
+        # ship one frame per step; the singleton fast path runs 2-branch
+        style_rev = style_rev[:, :1]
     # clean content image latents (= ddim_latents_0 = last of reversed order)
     img_latents = content_rev[-1]
 

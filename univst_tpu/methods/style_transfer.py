@@ -145,9 +145,17 @@ def style_transfer_rf_steps(
     schedule: FlowMatchSchedule,
     cfg: StyleTransferConfig,
     mask=None,
+    singleton: bool = False,
 ):
     """Segment of the SD3 stylization loop (see style_transfer_ddim_steps for
-    why segments exist)."""
+    why segments exist).
+
+    ``singleton=True`` runs the 2-branch [content | stylized] batch with the
+    style branch as a single frame: ``style_chunk`` is [K, 1, h, w, C] and the
+    denoiser signature becomes ``denoise3(x2, t, i, style_latent)`` — it runs
+    the single-frame style forward (capture) and injects the resulting K/V
+    itself (pipelines/sd3.py). Exact for the same reason as the SD path:
+    style-trajectory frames are identical."""
     n = cfg.num_steps
     f, h, w, c = latents.shape
     m = None if mask is None else _resize_mask(mask, h, w).astype(latents.dtype)
@@ -169,9 +177,12 @@ def style_transfer_rf_steps(
         gate = jnp.logical_and(fi >= cfg.adain_lo * n, fi <= cfg.adain_hi * n)
         latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
 
-        x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
-        v3 = denoise3(x3, sc * scale, i)
-        v = v3[2 * f :].astype(jnp.float32)
+        if singleton:
+            x2 = jnp.concatenate([cnt_t, latents], axis=0)
+            v = denoise3(x2, sc * scale, i, sty_t)[f:].astype(jnp.float32)
+        else:
+            x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
+            v = denoise3(x3, sc * scale, i)[2 * f :].astype(jnp.float32)
         x32 = latents.astype(jnp.float32)
         v_target = -(target - x32) / sc
         v = v + eta * (v_target - v)

@@ -104,9 +104,9 @@ class CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, causal_mask):
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(self.cfg, self.dtype, name="self_attn")(h, causal_mask)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = _act(self.cfg.hidden_act)(h)
         h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -153,7 +153,7 @@ class CLIPTextModel(nn.Module):
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, self.dtype, name=f"layer_{i}")(x, causal)
             hidden_states.append(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
         # pooled: hidden state at the first EOS position per sequence
         eos_pos = jnp.argmax((input_ids == EOS_TOKEN).astype(jnp.int32), axis=1)
         pooled = x[jnp.arange(b), eos_pos]

@@ -555,15 +555,83 @@ def _fold_bn(b: _TreeBuilder, src: str, dst: str, eps: float = 1e-5):
     b.put(dst + "/bias", bias - mean * scale)
 
 
-def convert_raft(state_dict: Mapping[str, np.ndarray], cfg=None) -> Dict:
-    """princeton-vl RAFT checkpoint (raft-things/sintel .pth) -> Flax tree.
+def _torchvision_raft_to_princeton(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """torchvision Raft_Large_Weights layout -> princeton-vl key names.
 
-    ``module.`` DataParallel prefixes are stripped. fnet uses instance norm
-    (affine=False -> no params in the ckpt); cnet uses BatchNorm, folded to
-    inference scale/bias.
+    The reference smoother loads torchvision's ``raft_large`` weights
+    (src/cal_optica_flow.py:4,53-54). torchvision's module tree
+    (feature_encoder/context_encoder with Conv2dNormActivation children,
+    update_block.motion_encoder / .recurrent_block / .flow_head, top-level
+    mask_predictor) is an exact architectural match for princeton-vl RAFT —
+    only names differ. This renames keys so :func:`convert_raft`'s princeton
+    mapping applies.
+    """
+    renames = [
+        ("feature_encoder.convnormrelu.0", "fnet.conv1"),
+        ("feature_encoder.convnormrelu.1", "fnet.norm1"),
+        ("context_encoder.convnormrelu.0", "cnet.conv1"),
+        ("context_encoder.convnormrelu.1", "cnet.norm1"),
+        ("update_block.motion_encoder.convcorr1.0", "update_block.encoder.convc1"),
+        ("update_block.motion_encoder.convcorr2.0", "update_block.encoder.convc2"),
+        ("update_block.motion_encoder.convflow1.0", "update_block.encoder.convf1"),
+        ("update_block.motion_encoder.convflow2.0", "update_block.encoder.convf2"),
+        ("update_block.motion_encoder.conv.0", "update_block.encoder.conv"),
+        ("update_block.recurrent_block.convgru1.convz", "update_block.gru.convz1"),
+        ("update_block.recurrent_block.convgru1.convr", "update_block.gru.convr1"),
+        ("update_block.recurrent_block.convgru1.convq", "update_block.gru.convq1"),
+        ("update_block.recurrent_block.convgru2.convz", "update_block.gru.convz2"),
+        ("update_block.recurrent_block.convgru2.convr", "update_block.gru.convr2"),
+        ("update_block.recurrent_block.convgru2.convq", "update_block.gru.convq2"),
+        ("update_block.flow_head.", "update_block.flow_head."),
+        ("mask_predictor.convrelu.0", "update_block.mask.0"),
+        ("mask_predictor.conv", "update_block.mask.2"),
+    ]
+    for enc_src, enc_dst in (("feature_encoder", "fnet"), ("context_encoder", "cnet")):
+        for stage in (1, 2, 3):
+            for blk in (0, 1):
+                s = f"{enc_src}.layer{stage}.{blk}"
+                d = f"{enc_dst}.layer{stage}.{blk}"
+                renames += [
+                    (f"{s}.convnormrelu1.0", f"{d}.conv1"),
+                    (f"{s}.convnormrelu1.1", f"{d}.norm1"),
+                    (f"{s}.convnormrelu2.0", f"{d}.conv2"),
+                    (f"{s}.convnormrelu2.1", f"{d}.norm2"),
+                    (f"{s}.downsample.0", f"{d}.downsample.0"),
+                    (f"{s}.downsample.1", f"{d}.downsample.1"),
+                ]
+        renames.append((f"{enc_src}.conv.", f"{enc_dst}.conv2."))
+    # longest-prefix-first so block renames win over encoder-stem renames
+    renames.sort(key=lambda ab: -len(ab[0]))
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for a, bnew in renames:
+            if nk.startswith(a):
+                nk = bnew + nk[len(a):]
+                break
+        out[nk] = v
+    return out
+
+
+def convert_raft(state_dict: Mapping[str, np.ndarray], cfg=None) -> Dict:
+    """RAFT checkpoint -> Flax tree. Accepts BOTH layouts:
+
+    * princeton-vl (raft-things/sintel .pth): ``fnet.* / cnet.* /
+      update_block.*``; ``module.`` DataParallel prefixes stripped.
+    * torchvision ``Raft_Large_Weights`` (what the reference smoother loads,
+      src/cal_optica_flow.py:53-54): auto-detected by the
+      ``feature_encoder.`` prefix and renamed via
+      :func:`_torchvision_raft_to_princeton`.
+
+    fnet uses instance norm (affine=False -> no params in the ckpt); cnet uses
+    BatchNorm, folded to inference scale/bias.
     """
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in state_dict.items()}
+    if any(k.startswith("feature_encoder.") for k in sd):
+        sd = _torchvision_raft_to_princeton(sd)
     b = _TreeBuilder(sd)
 
     def encoder(src: str, dst: str, norm: str):

@@ -34,17 +34,35 @@ from univst_tpu.core.config import FrameIndex, StyleShiftConfig
 
 @flax.struct.dataclass
 class VideoCtx:
-    """Static video context. frame_indices mirrors SparseCausalAttention_index
-    (video_diffusion_sd/models/attention.py:356)."""
+    """Static video context.
+
+    ``frame_indices`` mirrors the model-default SparseCausalAttention_index
+    (video_diffusion_sd/models/attention.py:356) used by every attn1 layer.
+    ``pnp_frame_indices`` is the index set of the 8 PATCHED decoder layers
+    during stylization (pnp_utils.py:25, ``[-1, 'first']``) — the reference
+    patches only those, so unpatched layers keep the 3-source default even
+    inside video_style_transfer. ``None`` falls back to ``frame_indices``.
+    """
 
     num_frames: int = flax.struct.field(pytree_node=False, default=1)
     frame_indices: Tuple[FrameIndex, ...] = flax.struct.field(
         pytree_node=False, default=(-1, 0, "first")
     )
+    pnp_frame_indices: Optional[Tuple[FrameIndex, ...]] = flax.struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def is_video(self) -> bool:
         return self.num_frames > 1
+
+    @property
+    def pnp_indices(self) -> Tuple[FrameIndex, ...]:
+        return (
+            self.frame_indices
+            if self.pnp_frame_indices is None
+            else self.pnp_frame_indices
+        )
 
 
 @flax.struct.dataclass
@@ -181,7 +199,14 @@ class SelfAttention(nn.Module):
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(x)
 
+        # The reference patches ONLY the 8 decoder attn1 layers: those use the
+        # PnP index set ([-1,'first'], pnp_utils.py:25) during stylization,
+        # every other layer keeps the model default [-1,0,'first']
+        # (models/attention.py:356). Outside stylization everything uses the
+        # default.
+        indices = video_ctx.frame_indices
         if self.apply_pnp and style_ctx is not None:
+            indices = video_ctx.pnp_indices
             if style_ctx.capture:
                 self.sow("pnp_kv", f"slot_{self.pnp_slot}", (k, v))
             elif style_ctx.style_kv is not None:
@@ -194,10 +219,9 @@ class SelfAttention(nn.Module):
                 q, k, v = apply_style_shift(
                     q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
                 )
-        if video_ctx.is_video and video_ctx.frame_indices:
+        if video_ctx.is_video and indices:
             out = video_mha(
-                q, k, v, self.num_heads, video_ctx.num_frames,
-                video_ctx.frame_indices,
+                q, k, v, self.num_heads, video_ctx.num_frames, indices,
             )
         else:
             out = mha(q, k, v, self.num_heads)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from univst_tpu.attention.ops import (
+    apply_style_shift_sd3_injected,
     apply_style_shift_sd3,
     cross_frame_kv_heads,
     sdpa,
@@ -79,6 +80,29 @@ class MMDiTConfig:
                     pooled_projection_dim=32, pos_embed_max_size=16)
         base.update(kw)
         return MMDiTConfig(**base)
+
+
+def extract_mmdit_style_kv(pnp_vars) -> dict:
+    """Flatten the sown 'pnp_kv' collection of a capture-mode MMDiT forward
+    into {"joint": tuple over blocks of (k, v), "dual": tuple over
+    dual-attention blocks of (k, v)} — the StyleCtx.style_kv layout the
+    injected SD3 shift consumes."""
+    joint, dual = {}, {}
+
+    def rec(tree):
+        for key, val in tree.items():
+            if key.startswith("slot_"):
+                joint[int(key[5:])] = val[0]
+            elif key.startswith("dual_"):
+                dual[int(key[5:])] = val[0]
+            else:
+                rec(val)
+
+    rec(pnp_vars)
+    return {
+        "joint": tuple(joint[i] for i in range(len(joint))),
+        "dual": tuple(dual[i] for i in range(len(dual))),
+    }
 
 
 def sincos_pos_embed_2d(dim: int, grid_h: int, grid_w: int) -> np.ndarray:
@@ -152,6 +176,7 @@ class JointAttention(nn.Module):
 
     cfg: MMDiTConfig
     context_pre_only: bool
+    slot: Optional[int] = None  # block index, for StyleCtx capture/injection
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -171,8 +196,18 @@ class JointAttention(nn.Module):
             q = RMSNorm(dtype=self.dtype, name="norm_q")(q)
             k = RMSNorm(dtype=self.dtype, name="norm_k")(k)
 
-        # 3-branch AdaIN shift on the image-token q/k/v (sd3 pnp_utils.py:181-194)
-        if style_ctx is not None and style_ctx.cfg is not None:
+        # 3-branch AdaIN shift on the image-token q/k/v (sd3 pnp_utils.py:181-194);
+        # capture / injected forms serve the single-frame style fast path
+        # (identical style frames — see pipelines/sd.py style pre-pass notes)
+        if style_ctx is not None and style_ctx.capture:
+            self.sow("pnp_kv", f"slot_{self.slot}", (k, v))
+        elif style_ctx is not None and style_ctx.style_kv is not None:
+            sk, sv = style_ctx.style_kv["joint"][self.slot]
+            q, k, v = apply_style_shift_sd3_injected(
+                q, k, v, sk, sv, style_ctx.step_idx, style_ctx.cfg,
+                video_ctx.num_frames,
+            )
+        elif style_ctx is not None and style_ctx.cfg is not None:
             q, k, v = apply_style_shift_sd3(
                 q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
             )
@@ -209,6 +244,7 @@ class DualSelfAttention(nn.Module):
     here too."""
 
     cfg: MMDiTConfig
+    slot: Optional[int] = None  # position among dual-attention blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -226,7 +262,15 @@ class DualSelfAttention(nn.Module):
         if c.qk_norm == "rms":
             q = RMSNorm(dtype=self.dtype, name="norm_q")(q)
             k = RMSNorm(dtype=self.dtype, name="norm_k")(k)
-        if style_ctx is not None and style_ctx.cfg is not None:
+        if style_ctx is not None and style_ctx.capture:
+            self.sow("pnp_kv", f"dual_{self.slot}", (k, v))
+        elif style_ctx is not None and style_ctx.style_kv is not None:
+            sk, sv = style_ctx.style_kv["dual"][self.slot]
+            q, k, v = apply_style_shift_sd3_injected(
+                q, k, v, sk, sv, style_ctx.step_idx, style_ctx.cfg,
+                video_ctx.num_frames,
+            )
+        elif style_ctx is not None and style_ctx.cfg is not None:
             q, k, v = apply_style_shift_sd3(
                 q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
             )
@@ -242,6 +286,8 @@ class JointBlock(nn.Module):
     cfg: MMDiTConfig
     context_pre_only: bool
     dual_attention: bool = False
+    slot: Optional[int] = None       # block index (style K/V capture/injection)
+    dual_slot: Optional[int] = None  # position among dual-attention blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -272,12 +318,13 @@ class JointBlock(nn.Module):
             # own modulation (diffusers SD35AdaLayerNormZeroX semantics)
             xh2 = _ln(x) * (1 + scm2) + sm2
         attn_x, attn_c = JointAttention(
-            self.cfg, self.context_pre_only, dtype=self.dtype, name="attn"
+            self.cfg, self.context_pre_only, slot=self.slot, dtype=self.dtype,
+            name="attn",
         )(xh, ch, video_ctx, style_ctx)
         x = x + gm * attn_x
         if self.dual_attention:
             x = x + gm2 * DualSelfAttention(
-                self.cfg, dtype=self.dtype, name="attn2"
+                self.cfg, slot=self.dual_slot, dtype=self.dtype, name="attn2"
             )(xh2, video_ctx, style_ctx)
         h = _ln(x) * (1 + sclp) + smlp
         x = x + gmlp * GeluMLP(d, dtype=self.dtype, name="ff")(h)
@@ -338,8 +385,10 @@ class MMDiT(nn.Module):
         captured = None
         for i in range(c.num_layers):
             pre_only = i == c.num_layers - 1
+            dual = i in c.dual_attention_layers
             tokens, ctx = JointBlock(
-                c, pre_only, dual_attention=i in c.dual_attention_layers,
+                c, pre_only, dual_attention=dual, slot=i,
+                dual_slot=(sorted(c.dual_attention_layers).index(i) if dual else None),
                 dtype=self.dtype, name=f"block_{i}",
             )(tokens, ctx, temb, video_ctx, style_ctx)
             if c.capture_block is not None and i == c.capture_block:

@@ -37,9 +37,19 @@ def build_animatediff(
     dtype=jnp.bfloat16,
     capture_up_block: Optional[int] = None,
     seed: int = 0,
+    dreambooth_path: Optional[str] = None,
+    lora_path: Optional[str] = None,
+    lora_alpha: float = 0.8,
 ) -> SDVideoPipeline:
     """Build the AnimateDiff pipeline: SD-1.5 2D base weights + motion ckpt
-    (reference load_weights, animatediff/utils/util.py:89-176)."""
+    (reference load_weights, animatediff/utils/util.py:89-176).
+
+    ``dreambooth_path`` loads a personalized LDM checkpoint as the base
+    (UNet + VAE + CLIP, reference load_weights:126-150); ``lora_path`` merges
+    a webui-format LoRA into the UNet/text-encoder weights at ``lora_alpha``
+    (reference convert_lora, default alpha 0.8 per load_weights:101). The
+    same LoRA can instead be applied live with runtime scale via
+    univst_tpu.models.lora.apply_lora."""
     if variant == "ad":
         unet_cfg = UNetADConfig.ad_v2(capture_up_block=capture_up_block)
         vae_cfg = VAEConfig.svd()
@@ -75,22 +85,50 @@ def build_animatediff(
     ):
         tok_dir = os.path.join(pretrained_model_path, "tokenizer")
 
+    unet_sd = vae_sd = clip_sd = None
     if pretrained_model_path:
         uw = _find_weights(os.path.join(pretrained_model_path, "unet"))
         if uw:
-            unet_params = cv.merge_into_params(
-                unet_params, cv.convert_ad_unet(cv.load_torch_state_dict(uw), unet_cfg)
-            )
+            unet_sd = cv.load_torch_state_dict(uw)
         vw = _find_weights(os.path.join(pretrained_model_path, "vae"))
         if vw:
-            vae_params = cv.merge_into_params(
-                vae_params, cv.convert_vae(cv.load_torch_state_dict(vw), vae_cfg)
-            )
+            vae_sd = cv.load_torch_state_dict(vw)
         tw = _find_weights(os.path.join(pretrained_model_path, "text_encoder"))
         if tw:
-            text_params = cv.merge_into_params(
-                text_params, cv.convert_clip_text(cv.load_torch_state_dict(tw), clip_cfg)
-            )
+            clip_sd = cv.load_torch_state_dict(tw)
+    if dreambooth_path:
+        from univst_tpu.models.convert_ldm import (
+            ldm_clip_to_hf,
+            ldm_unet_to_diffusers,
+            ldm_vae_to_diffusers,
+        )
+
+        db = cv.load_torch_state_dict(dreambooth_path)
+        unet_sd = ldm_unet_to_diffusers(db)
+        vae_sd = ldm_vae_to_diffusers(db)
+        clip_hf = ldm_clip_to_hf(db)
+        if clip_hf:
+            clip_sd = clip_hf
+    if lora_path:
+        from univst_tpu.models.convert_ldm import merge_lora
+
+        lora_sd = cv.load_torch_state_dict(lora_path)
+        if unet_sd is not None:
+            unet_lora = {k: v for k, v in lora_sd.items() if k.startswith("lora_unet_")}
+            unet_sd = merge_lora(unet_sd, unet_lora, alpha=lora_alpha)
+        if clip_sd is not None:
+            te_lora = {k: v for k, v in lora_sd.items() if k.startswith("lora_te_")}
+            clip_sd = merge_lora(clip_sd, te_lora, alpha=lora_alpha)
+    if unet_sd is not None:
+        unet_params = cv.merge_into_params(
+            unet_params, cv.convert_ad_unet(unet_sd, unet_cfg)
+        )
+    if vae_sd is not None:
+        vae_params = cv.merge_into_params(vae_params, cv.convert_vae(vae_sd, vae_cfg))
+    if clip_sd is not None:
+        text_params = cv.merge_into_params(
+            text_params, cv.convert_clip_text(clip_sd, clip_cfg)
+        )
     if motion_module_path:
         unet_params = cv.merge_into_params(
             unet_params,

@@ -71,6 +71,10 @@ class SDVideoPipeline:
     # inversion is frame-symmetric). False for AnimateDiff, whose motion
     # modules add per-frame positional encodings that break frame identity.
     style_singleton: bool = True
+    # optical-flow function for the pixel smoother: None -> built-in
+    # Lucas-Kanade pyramid; set to make_raft_flow(params) for RAFT (the
+    # reference smoother's flow, src/cal_optica_flow.py:53-54)
+    flow_fn: Optional[object] = None
 
     # -- construction --------------------------------------------------------
 
@@ -190,11 +194,28 @@ class SDVideoPipeline:
         decode_latents, stable_diffusion.py:369-394)."""
         return _decode_latents(self, self.vae_params, latents)
 
+    def decode_latents_uint8(self, latents):
+        """Same decode, quantized to uint8 ON DEVICE: the consumer is PNG/mp4
+        writing (uint8 anyway), and shipping fp32 pixels through the remote-TPU
+        tunnel costs ~4x the bytes (~1 s for 16 frames @512)."""
+        return _decode_latents_u8(self, self.vae_params, latents)
+
     # -- denoiser closures ----------------------------------------------------
 
     def _denoise_fn(self, unet_params, context, frame_indices,
                     style_cfg: Optional[StyleShiftConfig]):
-        vctx = VideoCtx(num_frames=self.num_frames, frame_indices=frame_indices)
+        if style_cfg is None:
+            # inversion / reconstruction: unpatched model, default indices
+            vctx = VideoCtx(num_frames=self.num_frames, frame_indices=frame_indices)
+        else:
+            # stylization: only the 8 patched decoder layers use the PnP set;
+            # everything else keeps the model default (reference patches just
+            # up-blocks {1,2,3}, pnp_utils.py:104-111)
+            vctx = VideoCtx(
+                num_frames=self.num_frames,
+                frame_indices=self.base_frame_indices,
+                pnp_frame_indices=frame_indices,
+            )
 
         def denoise(latents, t, step_idx, style_kv=None):
             sctx = (
@@ -315,12 +336,14 @@ class SDVideoPipeline:
                 self, self.unet_params, sty_lats[:, 0], ts_full, context3[1:2]
             )
             context2 = context3[jnp.asarray([0, 2])]
+            # all per-segment slicing happens INSIDE the jitted graph (traced
+            # start index): eager slices dispatch one remote op per pytree
+            # leaf through the TPU tunnel (~0.45 s per segment measured)
             for s0 in range(0, n, chunk):
-                sl = slice(s0, s0 + chunk)
                 latents = _stylize_chunk_singleton(
-                    self, self.unet_params, content_traj_rev[sl], sty_lats[sl],
-                    jax.tree_util.tree_map(lambda a: a[sl], style_kv_all),
-                    latents, steps_full[sl], ts_full[sl], context2, mask, cfg, scfg,
+                    self, self.unet_params, content_traj_rev[:n], sty_lats,
+                    style_kv_all, latents, steps_full, ts_full,
+                    jnp.asarray(s0, jnp.int32), context2, mask, cfg, scfg, chunk,
                 )
             return latents
 
@@ -391,6 +414,12 @@ def _decode_latents(pipe, vae_params, latents):
     return jnp.clip(px.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
 
+@partial(jax.jit, static_argnames=("pipe",))
+def _decode_latents_u8(pipe, vae_params, latents):
+    px = _decode_latents(pipe, vae_params, latents)
+    return jnp.round(px * 255.0).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("pipe", "num_steps", "is_opt", "capture_timestep"))
 def _invert_segment(pipe, unet_params, carry, steps, ts, context, num_steps,
                     is_opt, capture_timestep):
@@ -435,7 +464,7 @@ def _stylize_smooth_step(pipe, unet_params, vae_params, cnt_t, sty_t, latents,
     re-encode (posterior mean), convert back to eps via return_to_timestep,
     then the ordinary DDIM step."""
     from univst_tpu.core.adain import latent_adain
-    from univst_tpu.methods.flow import sliding_window_smooth
+    from univst_tpu.methods.flow import lucas_kanade_flow, sliding_window_smooth
     from univst_tpu.methods.style_transfer import _resize_mask
 
     n = cfg.num_steps
@@ -465,6 +494,7 @@ def _stylize_smooth_step(pipe, unet_params, vae_params, cnt_t, sty_t, latents,
     px = jnp.clip(px.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
     px = sliding_window_smooth(
         px, radius=cfg.smoother_radius,
+        flow_fn=pipe.flow_fn if pipe.flow_fn is not None else lucas_kanade_flow,
         mask=None if mask is None else mask.astype(jnp.float32),
     )
     mean, _ = pipe.vae.apply(
@@ -525,11 +555,14 @@ def _style_prepass(pipe, unet_params, style_lats, ts, context):
     return extract_pnp_kv(state["pnp_kv"])
 
 
-@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
-def _stylize_chunk_singleton(pipe, unet_params, content_chunk, style_lat_chunk,
-                             style_kv_chunk, latents, steps, ts, context2, mask,
-                             cfg, style_cfg):
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg", "chunk"))
+def _stylize_chunk_singleton(pipe, unet_params, content_full, style_lat_full,
+                             style_kv_all, latents, steps_full, ts_full, s0,
+                             context2, mask, cfg, style_cfg, chunk):
     denoise = pipe._denoise_fn(unet_params, context2, pipe.pnp_frame_indices, style_cfg)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, s0, chunk, axis=0)
 
     def denoise2(x2, t, i, kv):
         # scan unstacks the leading step axis; injected K/V wants [1, L, D]
@@ -538,6 +571,7 @@ def _stylize_chunk_singleton(pipe, unet_params, content_chunk, style_lat_chunk,
         return eps
 
     return style_transfer_ddim_steps(
-        denoise2, content_chunk, style_lat_chunk, latents.astype(jnp.float32),
-        steps, ts, pipe.schedule, cfg, mask=mask, style_kv=style_kv_chunk,
+        denoise2, sl(content_full), sl(style_lat_full),
+        latents.astype(jnp.float32), sl(steps_full), sl(ts_full), pipe.schedule,
+        cfg, mask=mask, style_kv=jax.tree_util.tree_map(sl, style_kv_all),
     )

@@ -67,6 +67,13 @@ class SD3VideoPipeline:
     # the final-normed output (SD3.encode_prompt behavior the reference
     # inherits via custom_pipeline.py:17). None == 0.
     clip_skip: Optional[int] = None
+    # run the style branch as a single frame per step (identical style frames
+    # — a repeated style image; MMDiT has no per-frame positional state, so
+    # this is exact like the SD path). The style K/V is captured by an
+    # in-scan single-frame forward (NOT a hoisted all-steps pre-pass: at
+    # 1024px the per-step K/V of all 24 blocks is ~600 MB, x50 steps won't
+    # fit HBM).
+    style_singleton: bool = True
 
     @classmethod
     def build(
@@ -324,8 +331,15 @@ class SD3VideoPipeline:
         chunk = self._exec_chunk(n)
         steps = jnp.arange(n)
         latents = init_latents.astype(jnp.float32)
+        seg_fn = _stylize2_segment if self.style_singleton else _stylize3_segment
+        if self.style_singleton:
+            style_traj_rev = style_traj_rev[:, :1]
+        elif style_traj_rev.shape[1] == 1 and self.num_frames > 1:
+            style_traj_rev = jnp.broadcast_to(
+                style_traj_rev, style_traj_rev.shape[:1] + content_traj_rev.shape[1:]
+            )
         for s0 in range(0, n, chunk):
-            latents = _stylize3_segment(
+            latents = seg_fn(
                 self, self.mmdit_params,
                 content_traj_rev[s0 : s0 + chunk], style_traj_rev[s0 : s0 + chunk],
                 latents, steps[s0 : s0 + chunk], sigmas[s0 : s0 + chunk],
@@ -414,4 +428,42 @@ def _stylize3_segment(pipe, params, content_chunk, style_chunk, latents, steps,
     return style_transfer_rf_steps(
         denoise3, content_chunk, style_chunk, latents, steps, s_curr, s_next,
         etas, img_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+    )
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
+def _stylize2_segment(pipe, params, content_chunk, style_chunk, latents, steps,
+                      s_curr, s_next, etas, img_latents, context3, pooled3,
+                      mask, cfg, style_cfg):
+    """Style-singleton segment: 2-branch [content | stylized] batch; the style
+    branch runs per step as ONE frame in capture mode and its per-block K/V
+    are injected (see SD3VideoPipeline.style_singleton)."""
+    from univst_tpu.models.mmdit import extract_mmdit_style_kv
+
+    ctx2 = context3[jnp.asarray([0, 2])]
+    pooled2 = pooled3[jnp.asarray([0, 2])]
+    ctx1 = context3[1:2]
+    pooled1 = pooled3[1:2]
+    vctx = VideoCtx(num_frames=pipe.num_frames, frame_indices=SD3_FRAME_INDICES)
+    vctx1 = VideoCtx(num_frames=1, frame_indices=())
+
+    def denoise2(x2, t, i, sty_lat):
+        sctx_cap = StyleCtx(step_idx=i, cfg=style_cfg, capture=True)
+        _, state = pipe.mmdit.apply(
+            {"params": params}, sty_lat.astype(pipe.dtype), t,
+            ctx1.astype(pipe.dtype), pooled1.astype(pipe.dtype), vctx1, sctx_cap,
+            mutable=["pnp_kv"],
+        )
+        kv = extract_mmdit_style_kv(state["pnp_kv"])
+        sctx = StyleCtx(step_idx=i, cfg=style_cfg, style_kv=kv)
+        v, _ = pipe.mmdit.apply(
+            {"params": params}, x2.astype(pipe.dtype), t,
+            ctx2.astype(pipe.dtype), pooled2.astype(pipe.dtype), vctx, sctx,
+        )
+        return v.astype(jnp.float32)
+
+    return style_transfer_rf_steps(
+        denoise2, content_chunk, style_chunk, latents, steps, s_curr, s_next,
+        etas, img_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+        singleton=True,
     )

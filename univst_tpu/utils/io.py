@@ -92,7 +92,9 @@ def save_frames(frames: np.ndarray, path: str) -> None:
     """Save ``[F, H, W, 3]`` fp32 in [0, 1] as ``%05d.png`` (reference
     src/util.py:22-31 ``save_folder``)."""
     os.makedirs(path, exist_ok=True)
-    x = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+    x = frames if frames.dtype == np.uint8 else (
+        np.clip(frames, 0.0, 1.0) * 255.0
+    ).astype(np.uint8)
     for i in range(x.shape[0]):
         Image.fromarray(x[i]).save(os.path.join(path, "%05d.png" % i))
 
@@ -104,7 +106,9 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    x = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+    x = frames if frames.dtype == np.uint8 else (
+        np.clip(frames, 0.0, 1.0) * 255.0
+    ).astype(np.uint8)
     try:
         imageio.mimsave(path, list(x), fps=fps)
     except Exception:
