@@ -47,9 +47,17 @@ def _peak_tflops(device) -> float:
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # 13-step segments align the phase boundary exactly with the SD shift
+    # window (26 = 2x13 multi-branch steps, then 24 = 2x12 stylized-only);
+    # the default 10 would round phase 1 up to 30 (pipelines/segments.py).
+    # Still well under the TPU tunnel's ~2 min per-execution watchdog.
+    os.environ.setdefault("UNIVST_EXEC_CHUNK", "13")
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
@@ -131,27 +139,41 @@ def main():
         from univst_tpu.pipelines.sd import (
             _style_prepass,
             _stylize_chunk_singleton,
+            _stylize_chunk_solo,
         )
+        from univst_tpu.pipelines.segments import phase_segments
         from univst_tpu.utils.flops import count_matmul_flops
 
-        chunk = pipe._exec_chunk(steps)
+        scfg = pipe.style_shift_cfg
+        phase1, phase2 = phase_segments(steps, scfg.window_end())
+        k1 = phase2[0][0] if phase2 else steps
+        c1 = phase1[0][1]
         ts_full = jnp.asarray(pipe.schedule.timesteps(steps).copy())
         sty_lats = style_rev[:steps, :1]
-        kv = _style_prepass(pipe, pipe.unet_params, sty_lats[:, 0], ts_full,
-                            context3[1:2])
+        kv = _style_prepass(pipe, pipe.unet_params, sty_lats[:k1, 0],
+                            ts_full[:k1], context3[1:2])
         _os.environ["UNIVST_DISABLE_FLASH"] = "1"
         try:
-            flops_per_chunk = count_matmul_flops(
+            flops_c1 = count_matmul_flops(
                 lambda *a: _stylize_chunk_singleton(
-                    pipe, *a, mask, cfg, None, chunk
+                    pipe, *a, mask, cfg, None, c1
                 ),
-                pipe.unet_params, content_rev[:steps], sty_lats, kv, init,
-                jnp.arange(steps), ts_full, jnp.asarray(0, jnp.int32),
+                pipe.unet_params, content_rev[:k1], sty_lats[:k1], kv, init,
+                jnp.arange(steps)[:k1], ts_full[:k1], jnp.asarray(0, jnp.int32),
                 context3[jnp.asarray([0, 2])],
             )
+            total_flops = flops_c1 * len(phase1)
+            if phase2:
+                c2 = phase2[0][1]
+                flops_c2 = count_matmul_flops(
+                    lambda *a: _stylize_chunk_solo(pipe, *a, mask, cfg, c2),
+                    pipe.unet_params, content_rev[:steps], sty_lats, init,
+                    jnp.arange(steps), ts_full,
+                    jnp.asarray(phase2[0][0], jnp.int32), context3[2:3],
+                )
+                total_flops += flops_c2 * len(phase2)
         finally:
             del _os.environ["UNIVST_DISABLE_FLASH"]
-        total_flops = flops_per_chunk * (steps / chunk)
         eff_tflops = total_flops / best / 1e12
         mfu = eff_tflops / _peak_tflops(dev)
     except Exception as e:

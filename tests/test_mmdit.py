@@ -179,3 +179,46 @@ def test_sd3_style_singleton_matches_3branch():
     np.testing.assert_allclose(
         np.asarray(out_new), np.asarray(out_old), rtol=1e-4, atol=2e-4
     )
+
+
+def test_sd3_phase_split_matches_full_loop(monkeypatch):
+    """Stylized-only late steps (past the SD3 shift window) == the full
+    multi-branch loop: the shift gate is False there and the content/style
+    velocity chunks are discarded (custom_pipeline.py:317-320)."""
+    import dataclasses
+
+    from univst_tpu.core.config import SD3_STYLE_SHIFT, StyleTransferConfig
+    from univst_tpu.pipelines.sd3 import SD3VideoPipeline
+
+    F, size, steps = 4, 64, 6
+    pipe = SD3VideoPipeline.build(
+        variant="tiny", num_frames=F, height=size, width=size, dtype=jnp.float32
+    )
+    rng = np.random.default_rng(1)
+    h8 = size // 8
+    content = jnp.asarray(rng.standard_normal((steps + 1, F, h8, h8, 16)), jnp.float32)
+    sty1 = rng.standard_normal((steps + 1, 1, h8, h8, 16)).astype(np.float32)
+    style = jnp.asarray(np.tile(sty1, (1, F, 1, 1, 1)))
+    init = jnp.asarray(rng.standard_normal((F, h8, h8, 16)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((F, h8, h8, 16)), jnp.float32)
+    mask = jnp.asarray((rng.random((F, size, size)) > 0.5).astype(np.float32))
+    ctx, pooled = pipe.encode_prompt("")
+    ctx3 = jnp.concatenate([ctx] * 3, 0)
+    pooled3 = jnp.concatenate([pooled] * 3, 0)
+    cfg = StyleTransferConfig(num_steps=steps)
+    # window over the test's n: gate fires for i <= 0.6*6 = 3.6 -> window_end 4
+    scfg = dataclasses.replace(SD3_STYLE_SHIFT, num_steps=steps)
+    assert scfg.window_end() == 4
+    monkeypatch.setenv("UNIVST_EXEC_CHUNK", "2")  # force segmentation on CPU
+    out_split = pipe.stylize_latents(
+        content, style, init, img, ctx3, pooled3, mask=mask, cfg=cfg,
+        style_cfg=scfg,
+    )
+    monkeypatch.setenv("UNIVST_DISABLE_PHASE_SPLIT", "1")
+    out_full = pipe.stylize_latents(
+        content, style, init, img, ctx3, pooled3, mask=mask, cfg=cfg,
+        style_cfg=scfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_split), np.asarray(out_full), rtol=1e-5, atol=1e-6
+    )

@@ -183,6 +183,35 @@ def test_cfg_reconstruction():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("singleton", [True, False])
+def test_phase_split_matches_full_loop(monkeypatch, singleton):
+    """Dropping the content/style branches past the shift window
+    (StyleShiftConfig.window_end) is exact: the gate is False there, so the
+    patched attention falls back to the stylized branch's own q/k/v and the
+    other epsilon chunks are discarded (stable_diffusion.py:712)."""
+    from univst_tpu.core.config import SD_STYLE_SHIFT
+
+    pipe, content, style, init, mask, ctx3 = _stylize_setup()
+    pipe = dataclasses.replace(pipe, style_singleton=singleton)
+    n = 6
+    cfg = StyleTransferConfig(num_steps=n)
+    # window over the test's n: gate fires for i <= 0.5*6 = 3 -> window_end 4
+    scfg = dataclasses.replace(SD_STYLE_SHIFT, num_steps=n)
+    assert scfg.window_end() == 4
+    monkeypatch.setenv("UNIVST_EXEC_CHUNK", "2")  # force segmentation on CPU
+    out_split = pipe.stylize_latents(
+        content, style, init, ctx3, mask=mask, cfg=cfg, style_cfg=scfg
+    )
+    monkeypatch.setenv("UNIVST_DISABLE_PHASE_SPLIT", "1")
+    out_full = pipe.stylize_latents(
+        content, style, init, ctx3, mask=mask, cfg=cfg, style_cfg=scfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_split), np.asarray(out_full), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.slow
 def test_style_singleton_bf16_close():
     """bf16 run of both paths stays within bf16 reduction noise."""
     pipe, content, style, init, mask, ctx3 = _stylize_setup(dtype=jnp.bfloat16)

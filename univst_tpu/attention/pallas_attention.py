@@ -51,6 +51,13 @@ def _kernel(
     sm_scale: float,
     kv_steps: int,
 ):
+    # At the video shapes this kernel is VPU-bound, not MXU-bound: the
+    # per-logit elementwise chain costs more than the two padded matmuls
+    # (L=4096, S=2L, dh 40->128: ~26 ms of exp/reduce vs ~22 ms of MXU per
+    # layer). So the softmax runs in base 2 with sm_scale * log2(e) folded
+    # into the q block (one [bq, dh] pass, 1/bk-th of a logit pass) — no
+    # per-logit scale multiply, and exp2 instead of exp (XLA lowers exp as
+    # exp2 + a multiply; the fold removes that multiply too).
     ikv = pl.program_id(2)
 
     @pl.when(ikv == 0)
@@ -59,17 +66,19 @@ def _kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
+    q = (q_ref[0].astype(jnp.float32) * (sm_scale * 1.4426950408889634)).astype(
+        q_ref.dtype
+    )
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale  # [bq, bk]
+    )  # [bq, bk] base-2 logits
 
     m_prev = m_ref[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
 
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(

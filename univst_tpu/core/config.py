@@ -72,6 +72,22 @@ class StyleShiftConfig:
         slope = (self.beta_max - self.beta_min) / (self.eta1 * n - self.eta2 * n)
         return slope * (i - self.eta2 * n) + self.beta_min
 
+    def window_end(self) -> int:
+        """First step index from which the shift can never fire again (static).
+
+        Past this step the content branch's UNet forward is dead compute — the
+        stylized branch falls back to its own q/k/v (attention/ops.py
+        ``jnp.where(gate, ..., q_sty)``) and the content/style epsilon
+        predictions are discarded (reference keeps only the third chunk,
+        stable_diffusion.py:712) — so the pipelines drop to a stylized-only
+        batch for steps >= window_end().
+        """
+        last = -1
+        for i in range(self.num_steps):
+            if bool(self.window_gate(i)):
+                last = i
+        return last + 1
+
 
 # Per-backbone presets (constants lifted from the reference pnp modules).
 SD_STYLE_SHIFT = StyleShiftConfig(alpha=0.65, gamma=3.0, eta2=0.5, window_mode="sd")

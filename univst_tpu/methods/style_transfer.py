@@ -44,6 +44,7 @@ def style_transfer_ddim_steps(
     cfg: StyleTransferConfig,
     mask=None,
     style_kv=None,
+    solo: bool = False,
 ):
     """Run a contiguous segment of the stylization loop (steps/ts arrays of
     length K, trajectory chunks [K, F, h, w, C]).
@@ -53,7 +54,7 @@ def style_transfer_ddim_steps(
     50-step scan exceeds it. One compiled graph serves every segment (same
     shapes; the step indices are data).
 
-    Two denoiser layouts:
+    Three denoiser layouts:
       * ``style_kv=None``: legacy 3-branch — ``denoise3([3F], t, i)``; the
         style branch rides the batch (``style_chunk`` is [K, F, h, w, C]).
       * ``style_kv`` given (pytree with leading axis K): 2-branch —
@@ -61,6 +62,10 @@ def style_transfer_ddim_steps(
         K/V injected; ``style_chunk`` is [K, 1, h, w, C] (style frames are
         identical, see pipelines/sd.py style pre-pass) and is still consumed
         by the latent AdaIN re-anchor below.
+      * ``solo=True``: stylized-only batch — ``denoise3([F], t, i)`` — for
+        segments past the shift window (StyleShiftConfig.window_end), where
+        the content/style forwards are dead compute; the trajectory chunks are
+        still consumed by the latent blending/anchoring below.
     """
     n = cfg.num_steps
     f, h, w, c = latents.shape
@@ -85,7 +90,9 @@ def style_transfer_ddim_steps(
         gate = jnp.logical_and(fi > cfg.adain_lo * n, fi <= cfg.adain_hi * n)
         latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
 
-        if style_kv is None:
+        if solo:
+            eps = denoise3(latents, t, i)
+        elif style_kv is None:
             x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
             eps = denoise3(x3, t, i)[2 * f :]
         else:
@@ -146,6 +153,7 @@ def style_transfer_rf_steps(
     cfg: StyleTransferConfig,
     mask=None,
     singleton: bool = False,
+    solo: bool = False,
 ):
     """Segment of the SD3 stylization loop (see style_transfer_ddim_steps for
     why segments exist).
@@ -155,7 +163,11 @@ def style_transfer_rf_steps(
     denoiser signature becomes ``denoise3(x2, t, i, style_latent)`` — it runs
     the single-frame style forward (capture) and injects the resulting K/V
     itself (pipelines/sd3.py). Exact for the same reason as the SD path:
-    style-trajectory frames are identical."""
+    style-trajectory frames are identical.
+
+    ``solo=True`` runs the stylized-only batch ``denoise3(x, t, i)`` for
+    segments past the shift window (content/style forwards are dead compute
+    there); the controlled-velocity pull and blending still apply."""
     n = cfg.num_steps
     f, h, w, c = latents.shape
     m = None if mask is None else _resize_mask(mask, h, w).astype(latents.dtype)
@@ -177,7 +189,9 @@ def style_transfer_rf_steps(
         gate = jnp.logical_and(fi >= cfg.adain_lo * n, fi <= cfg.adain_hi * n)
         latents = jnp.where(gate, anchored.astype(latents.dtype), latents)
 
-        if singleton:
+        if solo:
+            v = denoise3(latents, sc * scale, i).astype(jnp.float32)
+        elif singleton:
             x2 = jnp.concatenate([cnt_t, latents], axis=0)
             v = denoise3(x2, sc * scale, i, sty_t)[f:].astype(jnp.float32)
         else:

@@ -36,6 +36,7 @@ from univst_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel, Tokenizer
 from univst_tpu.models.layers import StyleCtx, VideoCtx
 from univst_tpu.models.unet_sd import UNetPseudo3D, UNetSDConfig
 from univst_tpu.models.vae import AutoencoderKL, VAEConfig, sample_latent
+from univst_tpu.pipelines.segments import exec_chunk, phase_segments
 
 
 def _find_weights(dirpath: str) -> Optional[str]:
@@ -203,8 +204,13 @@ class SDVideoPipeline:
     # -- denoiser closures ----------------------------------------------------
 
     def _denoise_fn(self, unet_params, context, frame_indices,
-                    style_cfg: Optional[StyleShiftConfig]):
-        if style_cfg is None:
+                    style_cfg: Optional[StyleShiftConfig], pnp_plain: bool = False):
+        """``pnp_plain=True`` builds the stylized-only denoiser for steps past
+        the shift window: the 8 patched layers keep their PnP index set (the
+        reference's patched forward always uses it — the window only gates the
+        AdaIN shift, pnp_utils.py:25,47) but no shift is applied and the batch
+        is a single branch."""
+        if style_cfg is None and not pnp_plain:
             # inversion / reconstruction: unpatched model, default indices
             vctx = VideoCtx(num_frames=self.num_frames, frame_indices=frame_indices)
         else:
@@ -218,11 +224,12 @@ class SDVideoPipeline:
             )
 
         def denoise(latents, t, step_idx, style_kv=None):
-            sctx = (
-                StyleCtx(step_idx=step_idx, cfg=style_cfg, style_kv=style_kv)
-                if style_cfg is not None
-                else None
-            )
+            if style_cfg is not None:
+                sctx = StyleCtx(step_idx=step_idx, cfg=style_cfg, style_kv=style_kv)
+            elif pnp_plain:
+                sctx = StyleCtx(step_idx=jnp.asarray(step_idx))
+            else:
+                sctx = None
             eps, feat = self.unet.apply(
                 {"params": unet_params},
                 latents.astype(self.dtype),
@@ -238,12 +245,8 @@ class SDVideoPipeline:
     # -- top-level workflows (jitted with params as args) ----------------------
 
     def _exec_chunk(self, num_steps: int) -> int:
-        """Largest divisor of num_steps <= UNIVST_EXEC_CHUNK (TPU tunnel
-        watchdog, see stylize_latents docstring); full loop elsewhere."""
-        chunk = int(os.environ.get("UNIVST_EXEC_CHUNK", "10"))
-        if jax.default_backend() not in ("tpu", "axon"):
-            chunk = num_steps
-        return max(d for d in range(1, min(chunk, num_steps) + 1) if num_steps % d == 0)
+        """See pipelines/segments.py (TPU tunnel watchdog)."""
+        return exec_chunk(num_steps)
 
     def invert(self, latents, context, num_steps: int = 50, is_opt: bool = True,
                capture_timestep: Optional[int] = None):
@@ -321,29 +324,45 @@ class SDVideoPipeline:
         share one compiled graph (step indices are data, shapes equal)."""
         scfg = style_cfg if style_cfg is not None else self.style_shift_cfg
         n = cfg.num_steps
-        chunk = self._exec_chunk(n)
         ts_full = jnp.asarray(self.schedule.timesteps(n).copy())
         steps_full = jnp.arange(n)
         latents = init_latents.astype(jnp.float32)
         smooth_lo, smooth_hi = cfg.smoother_steps
 
+        # Past the shift window the content/style branches are dead compute
+        # (StyleShiftConfig.window_end) — those steps run the stylized-only
+        # batch. The smoother steps must stay inside phase 1 (they take the
+        # full 3-branch step); the default (20, 25) window always is.
+        window_end = scfg.window_end()
+        if cfg.smoother is not None:
+            window_end = max(window_end, smooth_hi)
+        phase1, phase2 = phase_segments(n, window_end)
+        k1 = phase2[0][0] if phase2 else n
+
         # Style-singleton fast path: one batched pre-pass computes the style
-        # branch's PnP K/V for all n steps; the scan then runs the 2-branch
-        # [content | stylized] batch. Exact — see the style_singleton field.
+        # branch's PnP K/V for the multi-branch steps; the scan then runs the
+        # 2-branch [content | stylized] batch. Exact — see style_singleton.
         if self.style_singleton and cfg.smoother is None:
             sty_lats = style_traj_rev[:n, :1]  # [n, 1, h, w, C]
             style_kv_all = _style_prepass(
-                self, self.unet_params, sty_lats[:, 0], ts_full, context3[1:2]
+                self, self.unet_params, sty_lats[:k1, 0], ts_full[:k1],
+                context3[1:2]
             )
             context2 = context3[jnp.asarray([0, 2])]
             # all per-segment slicing happens INSIDE the jitted graph (traced
             # start index): eager slices dispatch one remote op per pytree
             # leaf through the TPU tunnel (~0.45 s per segment measured)
-            for s0 in range(0, n, chunk):
+            for s0, c in phase1:
                 latents = _stylize_chunk_singleton(
+                    self, self.unet_params, content_traj_rev[:k1], sty_lats[:k1],
+                    style_kv_all, latents, steps_full[:k1], ts_full[:k1],
+                    jnp.asarray(s0, jnp.int32), context2, mask, cfg, scfg, c,
+                )
+            for s0, c in phase2:
+                latents = _stylize_chunk_solo(
                     self, self.unet_params, content_traj_rev[:n], sty_lats,
-                    style_kv_all, latents, steps_full, ts_full,
-                    jnp.asarray(s0, jnp.int32), context2, mask, cfg, scfg, chunk,
+                    latents, steps_full, ts_full, jnp.asarray(s0, jnp.int32),
+                    context3[2:3], mask, cfg, c,
                 )
             return latents
 
@@ -352,8 +371,8 @@ class SDVideoPipeline:
             style_traj_rev = jnp.broadcast_to(
                 style_traj_rev, style_traj_rev.shape[:1] + content_traj_rev.shape[1:]
             )
-        for s0 in range(0, n, chunk):
-            seg = range(s0, s0 + chunk)
+        for s0, c in phase1:
+            seg = range(s0, s0 + c)
             if cfg.smoother == "pixel" and any(
                 smooth_lo <= i < smooth_hi for i in seg
             ):
@@ -377,10 +396,19 @@ class SDVideoPipeline:
             else:
                 latents = _stylize_chunk(
                     self, self.unet_params,
-                    content_traj_rev[s0 : s0 + chunk], style_traj_rev[s0 : s0 + chunk],
-                    latents, steps_full[s0 : s0 + chunk], ts_full[s0 : s0 + chunk],
+                    content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
+                    latents, steps_full[s0 : s0 + c], ts_full[s0 : s0 + c],
                     context3, mask, cfg, scfg,
                 )
+        for s0, c in phase2:
+            # full per-frame style latents: AnimateDiff style trajectories are
+            # NOT frame-identical (motion-module PEs), and the AdaIN re-anchor
+            # stats span frames (latent_adain dims [0,3,4])
+            latents = _stylize_chunk_solo(
+                self, self.unet_params, content_traj_rev[:n],
+                style_traj_rev[:n], latents, steps_full, ts_full,
+                jnp.asarray(s0, jnp.int32), context3[2:3], mask, cfg, c,
+            )
         return latents
 
     def __hash__(self):  # allow use as a static jit argument
@@ -518,6 +546,32 @@ def _stylize_chunk(pipe, unet_params, content_chunk, style_chunk, latents,
     return style_transfer_ddim_steps(
         denoise3, content_chunk, style_chunk, latents.astype(jnp.float32),
         steps, ts, pipe.schedule, cfg, mask=mask,
+    )
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "chunk"))
+def _stylize_chunk_solo(pipe, unet_params, content_full, style_full, latents,
+                        steps_full, ts_full, s0, context1, mask, cfg, chunk):
+    """Stylized-only segment for steps past the shift window: the content and
+    style branches are dead compute there (the shift gate is False, so the
+    patched attention falls back to the stylized branch's own q/k/v and the
+    reference discards the other two epsilon chunks, stable_diffusion.py:712).
+    The batch drops from 3F/2F to F; the trajectory latents are still consumed
+    by the mask blend / AdaIN re-anchor, which need no forward pass."""
+    denoise = pipe._denoise_fn(
+        unet_params, context1, pipe.pnp_frame_indices, None, pnp_plain=True
+    )
+
+    def denoise1(x, t, i):
+        eps, _ = denoise(x, t, i)
+        return eps
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, s0, chunk, axis=0)
+
+    return style_transfer_ddim_steps(
+        denoise1, sl(content_full), sl(style_full), latents.astype(jnp.float32),
+        sl(steps_full), sl(ts_full), pipe.schedule, cfg, mask=mask, solo=True,
     )
 
 

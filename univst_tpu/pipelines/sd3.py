@@ -42,6 +42,7 @@ from univst_tpu.models.mmdit import MMDiT, MMDiTConfig
 from univst_tpu.models.t5 import T5Config, T5Encoder, T5TokenizerShim
 from univst_tpu.models.vae import AutoencoderKL, VAEConfig, sample_latent
 from univst_tpu.pipelines.sd import _find_weights
+from univst_tpu.pipelines.segments import exec_chunk, phase_segments
 
 
 @dataclasses.dataclass
@@ -233,10 +234,8 @@ class SD3VideoPipeline:
         return denoise
 
     def _exec_chunk(self, num_steps: int) -> int:
-        chunk = int(os.environ.get("UNIVST_EXEC_CHUNK", "10"))
-        if jax.default_backend() not in ("tpu", "axon"):
-            chunk = num_steps
-        return max(d for d in range(1, min(chunk, num_steps) + 1) if num_steps % d == 0)
+        """See pipelines/segments.py (TPU tunnel watchdog)."""
+        return exec_chunk(num_steps)
 
     def _mu(self, height_latent: int, width_latent: int) -> Optional[float]:
         if not self.schedule.cfg.use_dynamic_shifting:
@@ -328,7 +327,6 @@ class SD3VideoPipeline:
         etas = jnp.asarray(
             generate_eta_values(ts, e_start, e_end, cfg.eta_base, cfg.eta_trend)
         )
-        chunk = self._exec_chunk(n)
         steps = jnp.arange(n)
         latents = init_latents.astype(jnp.float32)
         seg_fn = _stylize2_segment if self.style_singleton else _stylize3_segment
@@ -338,13 +336,25 @@ class SD3VideoPipeline:
             style_traj_rev = jnp.broadcast_to(
                 style_traj_rev, style_traj_rev.shape[:1] + content_traj_rev.shape[1:]
             )
-        for s0 in range(0, n, chunk):
+        # Past the shift window the content/style forwards are dead compute
+        # (StyleShiftConfig.window_end; the reference keeps only the stylized
+        # velocity chunk, custom_pipeline.py:317-320) — run stylized-only.
+        phase1, phase2 = phase_segments(n, style_cfg.window_end())
+        for s0, c in phase1:
             latents = seg_fn(
                 self, self.mmdit_params,
-                content_traj_rev[s0 : s0 + chunk], style_traj_rev[s0 : s0 + chunk],
-                latents, steps[s0 : s0 + chunk], sigmas[s0 : s0 + chunk],
-                sigmas[s0 + 1 : s0 + chunk + 1], etas[s0 : s0 + chunk],
+                content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
+                latents, steps[s0 : s0 + c], sigmas[s0 : s0 + c],
+                sigmas[s0 + 1 : s0 + c + 1], etas[s0 : s0 + c],
                 img_latents, context3, pooled3, mask, cfg, style_cfg,
+            )
+        for s0, c in phase2:
+            latents = _stylize1_segment(
+                self, self.mmdit_params,
+                content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
+                latents, steps[s0 : s0 + c], sigmas[s0 : s0 + c],
+                sigmas[s0 + 1 : s0 + c + 1], etas[s0 : s0 + c],
+                img_latents, context3, pooled3, mask, cfg,
             )
         return latents
 
@@ -466,4 +476,30 @@ def _stylize2_segment(pipe, params, content_chunk, style_chunk, latents, steps,
         denoise2, content_chunk, style_chunk, latents, steps, s_curr, s_next,
         etas, img_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
         singleton=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg"))
+def _stylize1_segment(pipe, params, content_chunk, style_chunk, latents, steps,
+                      s_curr, s_next, etas, img_latents, context3, pooled3,
+                      mask, cfg):
+    """Stylized-only segment for steps past the shift window: the shift gate
+    is False, so the processors fall back to the stylized branch's own q/k/v
+    and the content/style velocity chunks are discarded (custom_pipeline.py:
+    317-320) — their forwards are dead compute. Cross-frame KV expansion
+    still applies (the SD3 CrossFrameProcessor is installed on every layer
+    regardless of the window, run_content_inversion_sd3.py:58-68); the
+    controlled-velocity pull and mask blending still run on trajectory data."""
+    denoise = pipe._denoise_fn(
+        params, context3[2:3], pooled3[2:3], SD3_FRAME_INDICES, None
+    )
+
+    def denoise1(x, t, i):
+        v, _ = denoise(x, t, i)
+        return v
+
+    return style_transfer_rf_steps(
+        denoise1, content_chunk, style_chunk, latents, steps, s_curr, s_next,
+        etas, img_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+        solo=True,
     )

@@ -1,0 +1,54 @@
+"""Host-side segmentation of the denoise loops.
+
+Two concerns meet here:
+  * the remote-TPU tunnel enforces a ~2 minute per-execution watchdog, so the
+    50-step scans run as host-driven segments sharing compiled graphs
+    (UNIVST_EXEC_CHUNK, default 10 steps per dispatch);
+  * past the AdaIN shift window the content/style branches of the stylization
+    batch are dead compute (StyleShiftConfig.window_end — the reference keeps
+    only the stylized epsilon chunk, stable_diffusion.py:712), so the loop is
+    split into a multi-branch phase 1 and a stylized-only phase 2.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def exec_chunk(num_steps: int) -> int:
+    """Largest divisor of num_steps <= UNIVST_EXEC_CHUNK on TPU; the full loop
+    elsewhere unless the env var is set explicitly (tests force segmentation
+    on CPU)."""
+    raw = os.environ.get("UNIVST_EXEC_CHUNK")
+    if raw is None and jax.default_backend() not in ("tpu", "axon"):
+        chunk = num_steps
+    else:
+        chunk = int(raw) if raw else 10
+    return max(d for d in range(1, min(chunk, num_steps) + 1) if num_steps % d == 0)
+
+
+def phase_segments(n: int, window_end: int):
+    """Split the n-step loop at the shift window for the dead-branch cut.
+
+    Returns (phase1_segments, phase2_segments): lists of (start, length).
+    Phase 1 (multi-branch) covers at least [0, window_end); phase 2 runs the
+    stylized-only batch. Segment lengths are uniform within a phase so each
+    phase compiles exactly one graph; both respect the exec-chunk watchdog
+    bound. window_end >= n disables the split.
+    """
+    c = exec_chunk(n)
+    if window_end >= n or os.environ.get("UNIVST_DISABLE_PHASE_SPLIT"):
+        return [(s0, c) for s0 in range(0, n, c)], []
+    # phase 1 rounds the window up to whole chunks (the extra steps are
+    # correct — the gate is simply False — just not yet elided)
+    k1 = min(n, -(-window_end // c) * c)
+    k2 = n - k1
+    if k2 == 0:
+        return [(s0, c) for s0 in range(0, n, c)], []
+    c2 = max(d for d in range(1, min(c, k2) + 1) if k2 % d == 0)
+    return (
+        [(s0, c) for s0 in range(0, k1, c)],
+        [(s0, c2) for s0 in range(k1, n, c2)],
+    )
