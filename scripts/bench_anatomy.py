@@ -43,7 +43,10 @@ def timed(name, fn, reps=3):
 def _run_once(fn):
     t0 = time.perf_counter()
     out = fn()
-    jax.tree.map(np.asarray, out)  # tunnel-safe sync
+    # reduce before transferring: np.asarray of the raw outputs would ship
+    # hundreds of MB through the TPU tunnel (~24 MB/s) and swamp the timing
+    leaves = jax.tree.leaves(out)
+    np.asarray(sum(jnp.sum(x.astype(jnp.float32)) for x in leaves))
     return time.perf_counter() - t0
 
 
@@ -101,33 +104,44 @@ def main():
         ), args.reps)
         print(f"{'  -> per step':52s} {t/c2*1e3:9.1f} ms")
 
-    # single UNet forwards (outside the scan)
-    denoise2 = pipe._denoise_fn(pipe.unet_params, ctx2, pipe.pnp_frame_indices,
-                                scfg)
+    # single UNet forwards (outside the scan); params as jit ARGS — a closure
+    # would bake 3.4GB of weight constants into the lowering
     kv0 = jax.tree.map(lambda a: a[:1], kv)
     x2 = jnp.concatenate([init, init], axis=0).astype(jnp.bfloat16)
-    fwd2 = jax.jit(lambda x, t, kv: denoise2(x, t, jnp.asarray(1), style_kv=kv)[0])
-    timed(f"UNet fwd batch {2*frames} (2-branch, injected KV)",
-          lambda: fwd2(x2, jnp.asarray(301), kv0), args.reps)
 
-    denoise1 = pipe._denoise_fn(pipe.unet_params, context3[2:3],
-                                pipe.pnp_frame_indices, None, pnp_plain=True)
-    fwd1 = jax.jit(lambda x, t: denoise1(x, t, jnp.asarray(40))[0])
+    @jax.jit
+    def fwd2(p, x, t, kv):
+        d = pipe._denoise_fn(p, ctx2, pipe.pnp_frame_indices, scfg)
+        return d(x, t, jnp.asarray(1), style_kv=kv)[0]
+
+    timed(f"UNet fwd batch {2*frames} (2-branch, injected KV)",
+          lambda: fwd2(pipe.unet_params, x2, jnp.asarray(301), kv0), args.reps)
+
+    @jax.jit
+    def fwd1(p, x, t):
+        d = pipe._denoise_fn(p, context3[2:3], pipe.pnp_frame_indices, None,
+                             pnp_plain=True)
+        return d(x, t, jnp.asarray(40))[0]
+
     timed(f"UNet fwd batch {frames} (solo)",
-          lambda: fwd1(init.astype(jnp.bfloat16), jnp.asarray(301)), args.reps)
+          lambda: fwd1(pipe.unet_params, init.astype(jnp.bfloat16),
+                       jnp.asarray(301)), args.reps)
 
     # per-resolution sparse-causal attention (video kernel), batch 2F and F
     from univst_tpu.attention.ops import video_mha
+    from univst_tpu.core.config import SD_BASE_FRAME_INDICES
 
     for b in (2 * frames, frames):
-        for lvl, (hw, d, heads) in enumerate([(h8, 320, 8), (h8 // 2, 640, 8),
-                                              (h8 // 4, 1280, 8)]):
-            L = hw * hw
-            q = jax.random.normal(key, (b, L, d), jnp.bfloat16)
-            f = jax.jit(lambda q: video_mha(q, q, q, heads, frames,
-                                            SD_PNP_FRAME_INDICES))
-            timed(f"video attn b={b} L={L} d={d} (pnp 2-src)", lambda: f(q),
-                  args.reps)
+        for idx_name, idx in (("pnp 2-src", SD_PNP_FRAME_INDICES),
+                              ("base 3-src", SD_BASE_FRAME_INDICES)):
+            for hw, d, heads in [(h8, 320, 8), (h8 // 2, 640, 8),
+                                 (h8 // 4, 1280, 8)]:
+                L = hw * hw
+                q = jax.random.normal(key, (b, L, d), jnp.bfloat16)
+                fatt = jax.jit(lambda q, i=idx: video_mha(q, q, q, heads,
+                                                          frames, i))
+                timed(f"video attn b={b} L={L} d={d} ({idx_name})",
+                      lambda: fatt(q), args.reps)
 
     # VAE decode
     timed("VAE decode -> uint8 (16 frames @512)",

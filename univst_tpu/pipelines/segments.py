@@ -17,16 +17,21 @@ import os
 import jax
 
 
+def _raw_chunk(num_steps: int) -> int:
+    """UNIVST_EXEC_CHUNK as given (not divisor-constrained); the full loop on
+    CPU unless the env var is set explicitly (tests force segmentation)."""
+    raw = os.environ.get("UNIVST_EXEC_CHUNK")
+    if raw is None and jax.default_backend() not in ("tpu", "axon"):
+        return num_steps
+    return min(int(raw) if raw else 10, num_steps)
+
+
 def exec_chunk(num_steps: int) -> int:
     """Largest divisor of num_steps <= UNIVST_EXEC_CHUNK on TPU; the full loop
     elsewhere unless the env var is set explicitly (tests force segmentation
     on CPU)."""
-    raw = os.environ.get("UNIVST_EXEC_CHUNK")
-    if raw is None and jax.default_backend() not in ("tpu", "axon"):
-        chunk = num_steps
-    else:
-        chunk = int(raw) if raw else 10
-    return max(d for d in range(1, min(chunk, num_steps) + 1) if num_steps % d == 0)
+    chunk = _raw_chunk(num_steps)
+    return max(d for d in range(1, chunk + 1) if num_steps % d == 0)
 
 
 def phase_segments(n: int, window_end: int):
@@ -38,14 +43,18 @@ def phase_segments(n: int, window_end: int):
     phase compiles exactly one graph; both respect the exec-chunk watchdog
     bound. window_end >= n disables the split.
     """
-    c = exec_chunk(n)
     if window_end >= n or os.environ.get("UNIVST_DISABLE_PHASE_SPLIT"):
+        c = exec_chunk(n)
         return [(s0, c) for s0 in range(0, n, c)], []
+    # Each phase picks its own chunk, so the raw (non-divisor) bound applies:
     # phase 1 rounds the window up to whole chunks (the extra steps are
-    # correct — the gate is simply False — just not yet elided)
+    # correct — the gate is simply False — just not yet elided); phase 2 takes
+    # the largest divisor of its own length.
+    c = _raw_chunk(n)
     k1 = min(n, -(-window_end // c) * c)
     k2 = n - k1
     if k2 == 0:
+        c = exec_chunk(n)
         return [(s0, c) for s0 in range(0, n, c)], []
     c2 = max(d for d in range(1, min(c, k2) + 1) if k2 % d == 0)
     return (
