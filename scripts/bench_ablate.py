@@ -1,0 +1,110 @@
+"""Ablation timing of the phase-2 solo step (batch F=16): stub out one
+component at a time to get the exact per-component time split. The stubs are
+monkeypatches on univst_tpu.models.layers bindings — timing only, outputs are
+garbage. Usage: python scripts/bench_ablate.py
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.environ.setdefault("UNIVST_EXEC_CHUNK", "13")
+jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import univst_tpu.models.layers as L
+from univst_tpu.core.config import StyleTransferConfig
+from univst_tpu.pipelines.sd import SDVideoPipeline, _stylize_chunk_solo
+from univst_tpu.pipelines.segments import phase_segments
+
+ORIG = {
+    "video_mha": L.video_mha,
+    "mha": L.mha,
+    "ffn": L.FeedForwardGEGLU.__call__,
+    "gn": L.GroupNorm.__call__,
+}
+
+
+def restore():
+    L.video_mha = ORIG["video_mha"]
+    L.mha = ORIG["mha"]
+    L.FeedForwardGEGLU.__call__ = ORIG["ffn"]
+    L.GroupNorm.__call__ = ORIG["gn"]
+
+
+def main():
+    frames, size, steps = 16, 512, 50
+    pipe = SDVideoPipeline.build(variant="sd15", num_frames=frames,
+                                 height=size, width=size, seed=0)
+    h8 = size // 8
+    key = jax.random.PRNGKey(0)
+    ka, kb, kc, kd = jax.random.split(key, 4)
+    content = jax.random.normal(ka, (steps + 1, frames, h8, h8, 4), jnp.float32)
+    style = jax.random.normal(kb, (steps + 1, 1, h8, h8, 4), jnp.float32)
+    init = jax.random.normal(kc, (frames, h8, h8, 4), jnp.float32)
+    mask = (jax.random.uniform(kd, (frames, size, size)) > 0.5).astype(jnp.float32)
+    context = pipe.encode_text("")
+    context3 = jnp.concatenate([context] * 3, axis=0)
+    cfg = StyleTransferConfig(num_steps=steps)
+
+    n = steps
+    ts_full = jnp.asarray(pipe.schedule.timesteps(n).copy())
+    steps_full = jnp.arange(n)
+    _, phase2 = phase_segments(n, pipe.style_shift_cfg.window_end())
+    lat = init.astype(jnp.float32)
+    sty_lats = style[:n, :1]
+    s0, c = phase2[0]
+
+    def run():
+        # fresh jit wrapper per ablation (the patched bindings change the
+        # traced graph; _stylize_chunk_solo's own jit cache would collide)
+        @jax.jit
+        def f(params, lat):
+            return _stylize_chunk_solo.__wrapped__(
+                pipe, params, content[:n], sty_lats, lat, steps_full, ts_full,
+                jnp.asarray(s0, jnp.int32), context3[2:3], mask, cfg, c)
+
+        def go():
+            return f(pipe.unet_params, lat)
+
+        np.asarray(jnp.sum(go().astype(jnp.float32)))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jnp.sum(go().astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best / c * 1e3
+
+    base = run()
+    print(f"{'baseline':34s} {base:8.1f} ms/step")
+
+    ablations = {
+        "no self-attn (video_mha -> q)": lambda: setattr(
+            L, "video_mha", lambda q, k, v, H, F, idx, scale=None: q),
+        "no cross-attn+temporal (mha -> q)": lambda: setattr(
+            L, "mha", lambda q, k, v, H, scale=None: q),
+        "no FFN (GEGLU -> x)": lambda: setattr(
+            L.FeedForwardGEGLU, "__call__", lambda self, x: x),
+        "no GroupNorm (gn -> x)": lambda: setattr(
+            L.GroupNorm, "__call__",
+            lambda self, x: x * self.param(
+                "scale", jax.nn.initializers.ones, (x.shape[-1],), jnp.float32
+            ) + self.param(
+                "bias", jax.nn.initializers.zeros, (x.shape[-1],), jnp.float32)),
+    }
+    for name, patch in ablations.items():
+        restore()
+        patch()
+        try:
+            t = run()
+            print(f"{name:34s} {t:8.1f} ms/step  (delta {base - t:+.1f})")
+        except Exception as e:
+            print(f"{name:34s} FAILED {type(e).__name__}: {e}")
+    restore()
+
+
+if __name__ == "__main__":
+    main()

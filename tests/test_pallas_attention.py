@@ -28,9 +28,12 @@ def _naive(q, k, v, indices):
 
 
 @pytest.mark.parametrize("indices", [(-1, "first"), ("first", -1, 0)])
-def test_video_flash_matches_naive(indices):
+# dh=32 exercises the MXU sum-lane variant (spare padding lane carries the
+# softmax row-sum); dh=128 the VPU running-sum fallback (no spare lane)
+@pytest.mark.parametrize("dh", [32, 128])
+def test_video_flash_matches_naive(indices, dh):
     rng = np.random.default_rng(0)
-    b, f, h, l, dh = 1, 4, 2, 256, 32
+    b, f, h, l = 1, 4, 2, 256
     q = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)

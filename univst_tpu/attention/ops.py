@@ -295,11 +295,14 @@ def video_mha(q, k, v, num_heads: int, num_frames: int,
     bf, l, d = q.shape
     dh = d // num_heads
     f = num_frames
+    # L >= 1024: below that (the 16x16 level, L=256) the kernel grid is
+    # overhead-dominated and the XLA expanded-KV path is ~25x faster
+    # (scripts/bench_attn_tune.py, v5e: 0.3 ms vs ~8 ms per layer)
     use_kernel = (
         frame_indices
         and not os.environ.get("UNIVST_DISABLE_FLASH")
         and jax.default_backend() in ("tpu", "axon")
-        and l >= 256
+        and l >= 1024
         and l % 128 == 0
     )
     if use_kernel:
@@ -311,10 +314,14 @@ def video_mha(q, k, v, num_heads: int, num_frames: int,
             return x.reshape(b, f, l, num_heads, dh).transpose(0, 1, 3, 2, 4)
 
         dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+        # tuned on v5e (bench_attn_tune.py): bk=2048 at the 64x64 level beats
+        # 1024 by ~9%; the bq*bk fp32 logit block must stay within the 16 MB
+        # scoped-VMEM budget (1024 x 2048 x 4B = 8 MB)
         out = video_flash_attention(
             split(q).astype(dt), split(k).astype(dt), split(v).astype(dt),
             tuple(frame_indices),
             sm_scale=float(dh**-0.5 if scale is None else scale),
+            block_q=min(1024, l), block_k=min(2048, l),
         ).astype(q.dtype)
         return out.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
     if frame_indices:

@@ -40,31 +40,39 @@ def _kernel(
     # inputs (blocked)
     q_ref,     # [1, bq, dh]
     k_ref,     # [1, bk, dh]
-    v_ref,     # [1, bk, dh]
+    v_ref,     # [1, bk, dh]  (lane ``sum_lane`` holds 1.0 — see below)
     # outputs
     o_ref,     # [1, bq, dh]
     # scratch
     m_ref,     # [bq, 128] running max
-    l_ref,     # [bq, 128] running sum
-    acc_ref,   # [bq, dh] accumulator
+    l_ref,     # [bq, 128] running sum (used only when sum_lane is None)
+    acc_ref,   # [bq, dh] accumulator (lane ``sum_lane`` = running softmax sum)
     *,
     sm_scale: float,
     kv_steps: int,
+    sum_lane: int | None,
 ):
     # At the video shapes this kernel is VPU-bound, not MXU-bound: the
     # per-logit elementwise chain costs more than the two padded matmuls
     # (L=4096, S=2L, dh 40->128: ~26 ms of exp/reduce vs ~22 ms of MXU per
-    # layer). So the softmax runs in base 2 with sm_scale * log2(e) folded
-    # into the q block (one [bq, dh] pass, 1/bk-th of a logit pass) — no
-    # per-logit scale multiply, and exp2 instead of exp (XLA lowers exp as
-    # exp2 + a multiply; the fold removes that multiply too).
+    # layer). Two consequences:
+    #   * the softmax runs in base 2 with sm_scale * log2(e) folded into the
+    #     q block (one [bq, dh] pass, 1/bk-th of a logit pass) — no per-logit
+    #     scale multiply, and exp2 instead of exp (XLA lowers exp as exp2 + a
+    #     multiply; the fold removes that multiply too);
+    #   * the softmax row-sum rides the PV matmul instead of a VPU reduction:
+    #     the wrapper plants 1.0 at padding lane ``sum_lane`` of v, so
+    #     acc[:, sum_lane] accumulates sum(p) on the (otherwise idle) MXU —
+    #     the rescale-by-alpha bookkeeping falls out for free since the sum
+    #     lives inside acc. Deletes one full [bq, bk] reduction pass per block.
     ikv = pl.program_id(2)
 
     @pl.when(ikv == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if sum_lane is None:
+            l_ref[...] = jnp.zeros_like(l_ref)
 
     q = (q_ref[0].astype(jnp.float32) * (sm_scale * 1.4426950408889634)).astype(
         q_ref.dtype
@@ -79,18 +87,24 @@ def _kernel(
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.exp2(s - m_new)
-    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    if sum_lane is None:
+        l_ref[...] = jnp.broadcast_to(
+            alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
 
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(ikv == kv_steps - 1)
     def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        acc = acc_ref[...]
+        denom = (
+            l_ref[:, :1] if sum_lane is None else acc[:, sum_lane][:, None]
+        )
+        o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 def video_flash_attention(
@@ -108,11 +122,18 @@ def video_flash_attention(
     b, f, h, l, dh = q.shape
     if sm_scale is None:
         sm_scale = dh**-0.5
-    # pad head_dim to the TPU lane width
+    # Pad head_dim to the TPU lane width. When padding exists anyway, one
+    # spare lane carries the softmax-sum column (sum_lane); an exact multiple
+    # of 128 keeps the VPU row-sum instead of padding a whole extra tile.
     dh_pad = max(128, ((dh + 127) // 128) * 128)
+    sum_lane = dh if dh < dh_pad else None
     if dh_pad != dh:
         pad = ((0, 0),) * 4 + ((0, dh_pad - dh),)
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if sum_lane is not None:
+        # ones at the sum lane (jnp.pad can't write a single lane; one cheap
+        # fused update)
+        v = v + jnp.zeros((dh_pad,), v.dtype).at[sum_lane].set(1.0)
     bq = min(block_q, l)
     bk = min(block_k, l)
     nq = l // bq
@@ -122,7 +143,6 @@ def video_flash_attention(
     kv_steps = s_slots * nk
 
     qv = q.reshape(b * f * h, l, dh_pad)
-    kv_shape = (b, f, h, l, dh_pad)
 
     def q_map(ibfh, iq, ikv, srcs_ref):
         return (ibfh, iq, 0)
@@ -151,7 +171,9 @@ def video_flash_attention(
             pltpu.VMEM((bq, dh_pad), jnp.float32),
         ],
     )
-    kern = functools.partial(_kernel, sm_scale=float(sm_scale), kv_steps=kv_steps)
+    kern = functools.partial(
+        _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, sum_lane=sum_lane
+    )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -343,26 +343,30 @@ class SDVideoPipeline:
         # branch's PnP K/V for the multi-branch steps; the scan then runs the
         # 2-branch [content | stylized] batch. Exact — see style_singleton.
         if self.style_singleton and cfg.smoother is None:
+            # All per-segment slicing happens INSIDE the jitted graphs (traced
+            # start index) and the phase-constant slices are hoisted out of
+            # the dispatch loops: every eager op here is a remote dispatch
+            # through the TPU tunnel (~0.45 s per segment measured).
             sty_lats = style_traj_rev[:n, :1]  # [n, 1, h, w, C]
+            sty_k1, cnt_k1 = sty_lats[:k1], content_traj_rev[:k1]
+            steps_k1, ts_k1 = steps_full[:k1], ts_full[:k1]
             style_kv_all = _style_prepass(
-                self, self.unet_params, sty_lats[:k1, 0], ts_full[:k1],
-                context3[1:2]
+                self, self.unet_params, sty_k1[:, 0], ts_k1, context3[1:2]
             )
             context2 = context3[jnp.asarray([0, 2])]
-            # all per-segment slicing happens INSIDE the jitted graph (traced
-            # start index): eager slices dispatch one remote op per pytree
-            # leaf through the TPU tunnel (~0.45 s per segment measured)
+            context1 = context3[2:3]
+            cnt_n = content_traj_rev[:n]
             for s0, c in phase1:
                 latents = _stylize_chunk_singleton(
-                    self, self.unet_params, content_traj_rev[:k1], sty_lats[:k1],
-                    style_kv_all, latents, steps_full[:k1], ts_full[:k1],
+                    self, self.unet_params, cnt_k1, sty_k1,
+                    style_kv_all, latents, steps_k1, ts_k1,
                     jnp.asarray(s0, jnp.int32), context2, mask, cfg, scfg, c,
                 )
             for s0, c in phase2:
                 latents = _stylize_chunk_solo(
-                    self, self.unet_params, content_traj_rev[:n], sty_lats,
+                    self, self.unet_params, cnt_n, sty_lats,
                     latents, steps_full, ts_full, jnp.asarray(s0, jnp.int32),
-                    context3[2:3], mask, cfg, c,
+                    context1, mask, cfg, c,
                 )
             return latents
 
@@ -400,15 +404,17 @@ class SDVideoPipeline:
                     latents, steps_full[s0 : s0 + c], ts_full[s0 : s0 + c],
                     context3, mask, cfg, scfg,
                 )
-        for s0, c in phase2:
-            # full per-frame style latents: AnimateDiff style trajectories are
-            # NOT frame-identical (motion-module PEs), and the AdaIN re-anchor
-            # stats span frames (latent_adain dims [0,3,4])
-            latents = _stylize_chunk_solo(
-                self, self.unet_params, content_traj_rev[:n],
-                style_traj_rev[:n], latents, steps_full, ts_full,
-                jnp.asarray(s0, jnp.int32), context3[2:3], mask, cfg, c,
-            )
+        # full per-frame style latents: AnimateDiff style trajectories are
+        # NOT frame-identical (motion-module PEs), and the AdaIN re-anchor
+        # stats span frames (latent_adain dims [0,3,4])
+        if phase2:
+            cnt_n, sty_n = content_traj_rev[:n], style_traj_rev[:n]
+            ctx1 = context3[2:3]
+            for s0, c in phase2:
+                latents = _stylize_chunk_solo(
+                    self, self.unet_params, cnt_n, sty_n, latents, steps_full,
+                    ts_full, jnp.asarray(s0, jnp.int32), ctx1, mask, cfg, c,
+                )
         return latents
 
     def __hash__(self):  # allow use as a static jit argument

@@ -340,21 +340,21 @@ class SD3VideoPipeline:
         # (StyleShiftConfig.window_end; the reference keeps only the stylized
         # velocity chunk, custom_pipeline.py:317-320) — run stylized-only.
         phase1, phase2 = phase_segments(n, style_cfg.window_end())
+        # per-segment slicing happens INSIDE the jitted graphs (traced start
+        # index): eager slices dispatch one remote op per pytree leaf through
+        # the TPU tunnel (see pipelines/sd.py)
+        img32 = img_latents.astype(jnp.float32)
         for s0, c in phase1:
             latents = seg_fn(
-                self, self.mmdit_params,
-                content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
-                latents, steps[s0 : s0 + c], sigmas[s0 : s0 + c],
-                sigmas[s0 + 1 : s0 + c + 1], etas[s0 : s0 + c],
-                img_latents, context3, pooled3, mask, cfg, style_cfg,
+                self, self.mmdit_params, content_traj_rev, style_traj_rev,
+                latents, steps, sigmas, etas, jnp.asarray(s0, jnp.int32),
+                img32, context3, pooled3, mask, cfg, style_cfg, c,
             )
         for s0, c in phase2:
             latents = _stylize1_segment(
-                self, self.mmdit_params,
-                content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
-                latents, steps[s0 : s0 + c], sigmas[s0 : s0 + c],
-                sigmas[s0 + 1 : s0 + c + 1], etas[s0 : s0 + c],
-                img_latents, context3, pooled3, mask, cfg,
+                self, self.mmdit_params, content_traj_rev, style_traj_rev,
+                latents, steps, sigmas, etas, jnp.asarray(s0, jnp.int32),
+                img32, context3, pooled3, mask, cfg, c,
             )
         return latents
 
@@ -425,26 +425,35 @@ def _reconstruct3_segment(pipe, params, latent, steps, s_curr, s_next, etas,
     )
 
 
-@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
-def _stylize3_segment(pipe, params, content_chunk, style_chunk, latents, steps,
-                      s_curr, s_next, etas, img_latents, context3, pooled3,
-                      mask, cfg, style_cfg):
+def _seg_slices(steps_full, sigmas_full, etas_full, s0, chunk):
+    """In-jit per-segment views: steps/sigma-pair/etas for [s0, s0+chunk)."""
+    sl = lambda a, o=0: jax.lax.dynamic_slice_in_dim(a, s0 + o, chunk, axis=0)
+    return sl(steps_full), sl(sigmas_full), sl(sigmas_full, 1), sl(etas_full)
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg", "chunk"))
+def _stylize3_segment(pipe, params, content_full, style_full, latents, steps_full,
+                      sigmas_full, etas_full, s0, img_latents, context3, pooled3,
+                      mask, cfg, style_cfg, chunk):
     denoise = pipe._denoise_fn(params, context3, pooled3, SD3_FRAME_INDICES, style_cfg)
 
     def denoise3(x3, t, i):
         v, _ = denoise(x3, t, i)
         return v
 
+    steps, s_curr, s_next, etas = _seg_slices(steps_full, sigmas_full, etas_full,
+                                              s0, chunk)
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, chunk, axis=0)
     return style_transfer_rf_steps(
-        denoise3, content_chunk, style_chunk, latents, steps, s_curr, s_next,
-        etas, img_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+        denoise3, sl(content_full), sl(style_full), latents, steps, s_curr,
+        s_next, etas, img_latents, pipe.schedule, cfg, mask=mask,
     )
 
 
-@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
-def _stylize2_segment(pipe, params, content_chunk, style_chunk, latents, steps,
-                      s_curr, s_next, etas, img_latents, context3, pooled3,
-                      mask, cfg, style_cfg):
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg", "chunk"))
+def _stylize2_segment(pipe, params, content_full, style_full, latents, steps_full,
+                      sigmas_full, etas_full, s0, img_latents, context3, pooled3,
+                      mask, cfg, style_cfg, chunk):
     """Style-singleton segment: 2-branch [content | stylized] batch; the style
     branch runs per step as ONE frame in capture mode and its per-block K/V
     are injected (see SD3VideoPipeline.style_singleton)."""
@@ -472,17 +481,20 @@ def _stylize2_segment(pipe, params, content_chunk, style_chunk, latents, steps,
         )
         return v.astype(jnp.float32)
 
+    steps, s_curr, s_next, etas = _seg_slices(steps_full, sigmas_full, etas_full,
+                                              s0, chunk)
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, chunk, axis=0)
     return style_transfer_rf_steps(
-        denoise2, content_chunk, style_chunk, latents, steps, s_curr, s_next,
-        etas, img_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+        denoise2, sl(content_full), sl(style_full), latents, steps, s_curr,
+        s_next, etas, img_latents, pipe.schedule, cfg, mask=mask,
         singleton=True,
     )
 
 
-@partial(jax.jit, static_argnames=("pipe", "cfg"))
-def _stylize1_segment(pipe, params, content_chunk, style_chunk, latents, steps,
-                      s_curr, s_next, etas, img_latents, context3, pooled3,
-                      mask, cfg):
+@partial(jax.jit, static_argnames=("pipe", "cfg", "chunk"))
+def _stylize1_segment(pipe, params, content_full, style_full, latents, steps_full,
+                      sigmas_full, etas_full, s0, img_latents, context3, pooled3,
+                      mask, cfg, chunk):
     """Stylized-only segment for steps past the shift window: the shift gate
     is False, so the processors fall back to the stylized branch's own q/k/v
     and the content/style velocity chunks are discarded (custom_pipeline.py:
@@ -498,8 +510,11 @@ def _stylize1_segment(pipe, params, content_chunk, style_chunk, latents, steps,
         v, _ = denoise(x, t, i)
         return v
 
+    steps, s_curr, s_next, etas = _seg_slices(steps_full, sigmas_full, etas_full,
+                                              s0, chunk)
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, chunk, axis=0)
     return style_transfer_rf_steps(
-        denoise1, content_chunk, style_chunk, latents, steps, s_curr, s_next,
-        etas, img_latents.astype(jnp.float32), pipe.schedule, cfg, mask=mask,
+        denoise1, sl(content_full), sl(style_full), latents, steps, s_curr,
+        s_next, etas, img_latents, pipe.schedule, cfg, mask=mask,
         solo=True,
     )
