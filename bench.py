@@ -92,12 +92,17 @@ def main():
     context3 = jnp.concatenate([context] * 3, axis=0)
     cfg = StyleTransferConfig(num_steps=steps)
 
+    from univst_tpu.utils.io import fetch_array
+
     def run():
         out = pipe.stylize_latents(
             content_rev, style_rev, init, context3, mask=mask, cfg=cfg
         )
-        px = pipe.decode_latents_uint8(out)  # PNG-bound output; 4x less transfer
-        return np.asarray(px)  # force full sync through the tunnel
+        # chunked decode (decode_chunk_size=8, a reference knob): all chunks
+        # dispatch async, so fetching chunk i overlaps chunk i+1's decode.
+        # uint8 because the consumer is PNG/mp4 writing (4x less transfer).
+        chunks = pipe.decode_latents_uint8_chunks(out, chunk=8)
+        return np.concatenate([fetch_array(c) for c in chunks])
 
     t0 = time.time()
     run()
@@ -148,28 +153,27 @@ def main():
         phase1, phase2 = phase_segments(steps, scfg.window_end())
         k1 = phase2[0][0] if phase2 else steps
         c1 = phase1[0][1]
-        ts_full = jnp.asarray(pipe.schedule.timesteps(steps).copy())
-        sty_lats = style_rev[:steps, :1]
-        kv = _style_prepass(pipe, pipe.unet_params, sty_lats[:k1, 0],
-                            ts_full[:k1], context3[1:2])
+        ts_np = pipe.schedule.timesteps(steps).copy()
+        kv = _style_prepass(pipe, pipe.unet_params, style_rev, ts_np[:k1],
+                            context3, k1)
         _os.environ["UNIVST_DISABLE_FLASH"] = "1"
         try:
             flops_c1 = count_matmul_flops(
                 lambda *a: _stylize_chunk_singleton(
-                    pipe, *a, mask, cfg, None, c1
+                    pipe, *a, mask, cfg, scfg, c1, k1
                 ),
-                pipe.unet_params, content_rev[:k1], sty_lats[:k1], kv, init,
-                jnp.arange(steps)[:k1], ts_full[:k1], jnp.asarray(0, jnp.int32),
-                context3[jnp.asarray([0, 2])],
+                pipe.unet_params, content_rev, style_rev, kv, init,
+                ts_np[:k1], 0, context3,
             )
             total_flops = flops_c1 * len(phase1)
             if phase2:
                 c2 = phase2[0][1]
                 flops_c2 = count_matmul_flops(
-                    lambda *a: _stylize_chunk_solo(pipe, *a, mask, cfg, c2),
-                    pipe.unet_params, content_rev[:steps], sty_lats, init,
-                    jnp.arange(steps), ts_full,
-                    jnp.asarray(phase2[0][0], jnp.int32), context3[2:3],
+                    lambda *a: _stylize_chunk_solo(
+                        pipe, *a, mask, cfg, c2, steps
+                    ),
+                    pipe.unet_params, content_rev, style_rev[:, :1], init,
+                    ts_np, phase2[0][0], context3,
                 )
                 total_flops += flops_c2 * len(phase2)
         finally:

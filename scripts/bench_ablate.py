@@ -51,11 +51,9 @@ def main():
     cfg = StyleTransferConfig(num_steps=steps)
 
     n = steps
-    ts_full = jnp.asarray(pipe.schedule.timesteps(n).copy())
-    steps_full = jnp.arange(n)
+    ts_np = pipe.schedule.timesteps(n).copy()
     _, phase2 = phase_segments(n, pipe.style_shift_cfg.window_end())
     lat = init.astype(jnp.float32)
-    sty_lats = style[:n, :1]
     s0, c = phase2[0]
 
     def run():
@@ -64,8 +62,8 @@ def main():
         @jax.jit
         def f(params, lat):
             return _stylize_chunk_solo.__wrapped__(
-                pipe, params, content[:n], sty_lats, lat, steps_full, ts_full,
-                jnp.asarray(s0, jnp.int32), context3[2:3], mask, cfg, c)
+                pipe, params, content, style[:, :1], lat, ts_np, s0,
+                context3, mask, cfg, c, n)
 
         def go():
             return f(pipe.unet_params, lat)

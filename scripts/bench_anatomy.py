@@ -75,32 +75,28 @@ def main():
     phase1, phase2 = phase_segments(steps, scfg.window_end())
     kk1 = phase2[0][0] if phase2 else steps
     c1 = phase1[0][1]
-    ts_full = jnp.asarray(pipe.schedule.timesteps(steps).copy())
-    steps_full = jnp.arange(steps)
-    sty_lats = style_rev[:steps, :1]
+    ts_np = pipe.schedule.timesteps(steps).copy()
     ctx2 = context3[jnp.asarray([0, 2])]
     print(f"device={jax.devices()[0]} frames={frames} size={size} "
           f"phase1={phase1} phase2={phase2}")
 
-    kv = _style_prepass(pipe, pipe.unet_params, sty_lats[:kk1, 0], ts_full[:kk1],
-                        context3[1:2])
+    kv = _style_prepass(pipe, pipe.unet_params, style_rev, ts_np[:kk1],
+                        context3, kk1)
     timed("style pre-pass (batch k1 single-frame fwd)", lambda: _style_prepass(
-        pipe, pipe.unet_params, sty_lats[:kk1, 0], ts_full[:kk1], context3[1:2]
+        pipe, pipe.unet_params, style_rev, ts_np[:kk1], context3, kk1
     ), args.reps)
 
     t = timed(f"phase1 chunk ({c1} steps, batch {2*frames})", lambda: _stylize_chunk_singleton(
-        pipe, pipe.unet_params, content_rev[:kk1], sty_lats[:kk1], kv, init,
-        steps_full[:kk1], ts_full[:kk1], jnp.asarray(0, jnp.int32), ctx2,
-        mask, cfg, scfg, c1,
+        pipe, pipe.unet_params, content_rev, style_rev, kv, init,
+        ts_np[:kk1], 0, context3, mask, cfg, scfg, c1, kk1,
     ), args.reps)
     print(f"{'  -> per step':52s} {t/c1*1e3:9.1f} ms")
 
     if phase2:
         c2 = phase2[0][1]
         t = timed(f"phase2 solo chunk ({c2} steps, batch {frames})", lambda: _stylize_chunk_solo(
-            pipe, pipe.unet_params, content_rev[:steps], sty_lats, init,
-            steps_full, ts_full, jnp.asarray(phase2[0][0], jnp.int32),
-            context3[2:3], mask, cfg, c2,
+            pipe, pipe.unet_params, content_rev, style_rev[:, :1], init,
+            ts_np, phase2[0][0], context3, mask, cfg, c2, steps,
         ), args.reps)
         print(f"{'  -> per step':52s} {t/c2*1e3:9.1f} ms")
 

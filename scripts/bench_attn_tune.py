@@ -67,17 +67,18 @@ def main():
                 def merge(o):
                     return o.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
 
-                for bq, bk in ((1024, 1024), (2048, 1024), (1024, 2048),
-                               (512, 2048), (512, 512)):
+                for bq, bk, u in ((1024, 2048, 1), (2048, 2048, 1),
+                                  (1024, 4096, 1), (2048, 4096, 1),
+                                  (4096, 2048, 1), (1024, 1024, 1)):
                     if bq > l or bk > l:
                         continue
 
-                    def kfn(x, bq=bq, bk=bk, idx=idx):
+                    def kfn(x, bq=bq, bk=bk, u=u, idx=idx):
                         xs = split(x)
                         return merge(video_flash_attention(
-                            xs, xs, xs, idx, block_q=bq, block_k=bk))
+                            xs, xs, xs, idx, block_q=bq, block_k=bk, unroll=u))
 
-                    timed(f"kernel {tag} bq={bq} bk={bk}", scan_of(kfn, q))
+                    timed(f"kernel {tag} bq={bq} bk={bk} u={u}", scan_of(kfn, q))
 
                 def xfn(x, idx=idx):
                     kk = cross_frame_kv(x, F, idx)

@@ -42,12 +42,10 @@ def main():
     scfg = pipe.style_shift_cfg
 
     n = steps
-    ts_full = jnp.asarray(pipe.schedule.timesteps(n).copy())
-    steps_full = jnp.arange(n)
+    ts_np = pipe.schedule.timesteps(n).copy()
     phase1, phase2 = phase_segments(n, scfg.window_end())
     k1 = phase2[0][0] if phase2 else n
     lat = init.astype(jnp.float32)
-    sty_lats = style[:n, :1]
 
     copts = None
     if os.environ.get("UNIVST_SCOPED_VMEM_KIB"):
@@ -62,8 +60,8 @@ def main():
     def _solo(params, lat):
         s0, c = phase2[0]
         return _stylize_chunk_solo(
-            pipe, params, content[:n], sty_lats, lat, steps_full,
-            ts_full, jnp.asarray(s0, jnp.int32), context3[2:3], mask, cfg, c)
+            pipe, params, content, style[:, :1], lat, ts_np, s0, context3,
+            mask, cfg, c, n)
 
     def solo():
         return _solo(pipe.unet_params, lat)
@@ -81,15 +79,13 @@ def main():
     print(f"solo chunk ({c} steps): {best*1e3:.1f} ms -> {best/c*1e3:.1f} ms/step")
 
     # phase-1 singleton too (2-branch)
-    kv = _style_prepass(pipe, pipe.unet_params, sty_lats[:k1, 0], ts_full[:k1],
-                        context3[1:2])
+    kv = _style_prepass(pipe, pipe.unet_params, style, ts_np[:k1], context3, k1)
 
     def p1():
         s0, c1 = phase1[0]
         return _stylize_chunk_singleton(
-            pipe, pipe.unet_params, content[:k1], sty_lats[:k1], kv, lat,
-            steps_full[:k1], ts_full[:k1], jnp.asarray(s0, jnp.int32),
-            context3[jnp.asarray([0, 2])], mask, cfg, scfg, c1)
+            pipe, pipe.unet_params, content, style, kv, lat,
+            ts_np[:k1], s0, context3, mask, cfg, scfg, c1, k1)
 
     sync(p1())
     best = 1e9

@@ -47,18 +47,10 @@ def main():
     scfg = pipe.style_shift_cfg
 
     n = steps
-    ts_full = jnp.asarray(pipe.schedule.timesteps(n).copy())
-    steps_full = jnp.arange(n)
+    ts_np = pipe.schedule.timesteps(n).copy()
     phase1, phase2 = phase_segments(n, scfg.window_end())
     k1 = phase2[0][0] if phase2 else n
     print(f"phase1={phase1} phase2={phase2}")
-
-    sty_lats = style[:n, :1]
-    sty_k1, cnt_k1 = sty_lats[:k1], content[:k1]
-    steps_k1, ts_k1 = steps_full[:k1], ts_full[:k1]
-    context2 = context3[jnp.asarray([0, 2])]
-    context1 = context3[2:3]
-    cnt_n = content[:n]
 
     def stage(name, fn, reps=2):
         fn()  # compile
@@ -71,10 +63,10 @@ def main():
         print(f"{name:46s} {best*1e3:9.1f} ms")
         return best
 
-    kv = _style_prepass(pipe, pipe.unet_params, sty_k1[:, 0], ts_k1, context3[1:2])
+    kv = _style_prepass(pipe, pipe.unet_params, style, ts_np[:k1], context3, k1)
     sync(kv)
     stage("prepass", lambda: _style_prepass(
-        pipe, pipe.unet_params, sty_k1[:, 0], ts_k1, context3[1:2]))
+        pipe, pipe.unet_params, style, ts_np[:k1], context3, k1))
 
     lat = init.astype(jnp.float32)
     outs = {}
@@ -82,8 +74,8 @@ def main():
     def p1(seg):
         s0, c = seg
         return _stylize_chunk_singleton(
-            pipe, pipe.unet_params, cnt_k1, sty_k1, kv, lat, steps_k1, ts_k1,
-            jnp.asarray(s0, jnp.int32), context2, mask, cfg, scfg, c)
+            pipe, pipe.unet_params, content, style, kv, lat, ts_np[:k1],
+            s0, context3, mask, cfg, scfg, c, k1)
 
     for seg in phase1:
         outs[seg] = stage(f"phase1 seg {seg}", lambda seg=seg: p1(seg))
@@ -91,8 +83,8 @@ def main():
     def p2(seg):
         s0, c = seg
         return _stylize_chunk_solo(
-            pipe, pipe.unet_params, cnt_n, sty_lats, lat, steps_full, ts_full,
-            jnp.asarray(s0, jnp.int32), context1, mask, cfg, c)
+            pipe, pipe.unet_params, content, style[:, :1], lat, ts_np,
+            s0, context3, mask, cfg, c, n)
 
     for seg in phase2:
         outs[seg] = stage(f"phase2 seg {seg}", lambda seg=seg: p2(seg))
@@ -106,15 +98,50 @@ def main():
     arr = np.asarray(px)
     print(f"{'uint8 pixel transfer (12.6 MB)':46s} {(time.perf_counter()-t0)*1e3:9.1f} ms")
 
+    from univst_tpu.utils.io import fetch_array
+
+    def dec_overlap():
+        chunks = pipe.decode_latents_uint8_chunks(lat + 0.0, chunk=8)
+        return np.concatenate([fetch_array(c) for c in chunks])
+
+    dec_overlap()
+    t0 = time.perf_counter()
+    dec_overlap()
+    print(f"{'chunked decode + threaded fetch':46s} {(time.perf_counter()-t0)*1e3:9.1f} ms")
+
     # full pipeline via the public API, for the residual
     def full():
         out = pipe.stylize_latents(content, style, init, context3, mask=mask, cfg=cfg)
-        return np.asarray(pipe.decode_latents_uint8(out))
+        chunks = pipe.decode_latents_uint8_chunks(out, chunk=8)
+        return np.concatenate([fetch_array(c) for c in chunks])
 
     full()
     t0 = time.perf_counter()
     full()
     print(f"{'full stylize+decode+transfer':46s} {(time.perf_counter()-t0)*1e3:9.1f} ms")
+
+    # dispatch-blocking anatomy: time each python call return (no syncs)
+    for rep in range(2):
+        marks = [("start", time.perf_counter())]
+        kv2 = _style_prepass(pipe, pipe.unet_params, style, ts_np[:k1],
+                             context3, k1)
+        marks.append(("prepass dispatched", time.perf_counter()))
+        l1 = _stylize_chunk_singleton(
+            pipe, pipe.unet_params, content, style, kv2, lat, ts_np[:k1],
+            0, context3, mask, cfg, scfg, 26, k1)
+        marks.append(("phase1 dispatched", time.perf_counter()))
+        l2 = _stylize_chunk_solo(
+            pipe, pipe.unet_params, content, style[:, :1], l1, ts_np,
+            26, context3, mask, cfg, 24, n)
+        marks.append(("phase2 dispatched", time.perf_counter()))
+        chunks = pipe.decode_latents_uint8_chunks(l2, chunk=8)
+        marks.append(("decodes dispatched", time.perf_counter()))
+        np.concatenate([fetch_array(c) for c in chunks])
+        marks.append(("fetched", time.perf_counter()))
+        prev = marks[0][1]
+        for name, t in marks[1:]:
+            print(f"  rep{rep} {name:24s} +{(t - prev)*1e3:9.1f} ms")
+            prev = t
 
 
 if __name__ == "__main__":

@@ -44,3 +44,33 @@ def test_temporal_decoder_differs_from_spatial_path():
     # frame 1's decode depends on its neighbors -> reversing frame order
     # changes middle-frame outputs
     assert np.abs(out[1] - out_perm[2]).max() > 1e-6
+
+
+def test_chunked_decode_matches_reference_semantics():
+    """decode_latents_uint8_chunks == per-chunk decode with the chunk's own
+    frame count (reference decode_latents decode_chunk_size,
+    stable_diffusion.py:378-385); chunk >= F is the single full decode."""
+    from univst_tpu.pipelines.sd import SDVideoPipeline
+
+    pipe = SDVideoPipeline.build(variant="tiny", num_frames=4, height=64,
+                                 width=64, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((4, 8, 8, 4)), jnp.float32)
+    full = np.asarray(pipe.decode_latents_uint8(lat))
+    one = pipe.decode_latents_uint8_chunks(lat, chunk=8)
+    assert len(one) == 1
+    np.testing.assert_array_equal(np.asarray(one[0]), full)
+    halves = pipe.decode_latents_uint8_chunks(lat, chunk=2)
+    assert len(halves) == 2
+    got = np.concatenate([np.asarray(h) for h in halves])
+    assert got.shape == full.shape
+    # each chunk must equal a standalone decode of those frames with its own
+    # temporal frame count (decode_latents_uint8 bakes in pipe.num_frames, so
+    # the oracle is a 2-frame pipeline)
+    pipe2 = SDVideoPipeline.build(variant="tiny", num_frames=2, height=64,
+                                  width=64, dtype=jnp.float32)
+    want = np.concatenate([
+        np.asarray(pipe2.decode_latents_uint8(lat[:2])),
+        np.asarray(pipe2.decode_latents_uint8(lat[2:])),
+    ])
+    np.testing.assert_array_equal(got, want)

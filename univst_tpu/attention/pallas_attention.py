@@ -51,6 +51,7 @@ def _kernel(
     sm_scale: float,
     kv_steps: int,
     sum_lane: int | None,
+    unroll: int = 1,
 ):
     # At the video shapes this kernel is VPU-bound, not MXU-bound: the
     # per-logit elementwise chain costs more than the two padded matmuls
@@ -78,25 +79,36 @@ def _kernel(
         q_ref.dtype
     )
     k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, bk] base-2 logits
+    v = v_ref[0]
+    # Statically unrolled sub-blocks of the KV block: straight-line code over
+    # independent sub-slices lets the Mosaic scheduler overlap sub-block j+1's
+    # QK matmul (MXU) with sub-block j's softmax chain (VPU) — with one
+    # serialized chain the kernel runs at MXU-time + VPU-time instead of
+    # max(MXU, VPU).
+    bk = k.shape[0] // unroll
+    for j in range(unroll):
+        kj = jax.lax.slice_in_dim(k, j * bk, (j + 1) * bk, axis=0)
+        s = jax.lax.dot_general(
+            q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk] base-2 logits
 
-    m_prev = m_ref[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s - m_new)
-    if sum_lane is None:
-        l_ref[...] = jnp.broadcast_to(
-            alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        if sum_lane is None:
+            l_ref[...] = jnp.broadcast_to(
+                alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True),
+                l_ref.shape,
+            )
+
+        vj = jax.lax.slice_in_dim(v, j * bk, (j + 1) * bk, axis=0)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), vj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(ikv == kv_steps - 1)
     def _finish():
@@ -109,7 +121,8 @@ def _kernel(
 
 def video_flash_attention(
     q, k, v, frame_indices: Sequence, sm_scale: float | None = None,
-    block_q: int = 1024, block_k: int = 1024, interpret: bool = False,
+    block_q: int = 1024, block_k: int = 1024, unroll: int | None = None,
+    interpret: bool = False,
 ):
     """Attention where each frame's KV is the concat of the frames selected by
     ``frame_indices`` — computed WITHOUT materializing the expanded KV.
@@ -138,6 +151,13 @@ def video_flash_attention(
     bk = min(block_k, l)
     nq = l // bq
     nk = l // bk
+    if unroll is None:
+        # measured on v5e: sub-block unrolling (hoped-for MXU/VPU overlap)
+        # is a consistent 5-30% REGRESSION — Mosaic serializes the chains —
+        # so the single full-block body stays the default
+        unroll = 1
+    elif unroll > 1 and bk % unroll:
+        raise ValueError(f"unroll {unroll} must divide block_k {bk}")
     srcs = np.stack(resolve_frame_indices(tuple(frame_indices), f), axis=1)  # [F, S]
     s_slots = srcs.shape[1]
     kv_steps = s_slots * nk
@@ -172,7 +192,8 @@ def video_flash_attention(
         ],
     )
     kern = functools.partial(
-        _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, sum_lane=sum_lane
+        _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, sum_lane=sum_lane,
+        unroll=unroll,
     )
     out = pl.pallas_call(
         kern,
@@ -180,6 +201,10 @@ def video_flash_attention(
         out_shape=jax.ShapeDtypeStruct((b * f * h, l, dh_pad), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the [bq, bk] fp32 logit block dominates scoped VMEM; the default
+            # 16 MB limit rejects (2048, 2048)-class blocks that fit easily in
+            # the 128 MB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(srcs, jnp.int32), qv,

@@ -18,6 +18,8 @@ import os
 
 import numpy as np
 
+from univst_tpu.utils.io import fetch_array
+
 from univst_tpu.cli.common import build_pipeline_from_args, make_output_tree, save_feature_pt, setup_jax
 from univst_tpu.utils.io import load_video, save_video, seed_everything
 
@@ -45,13 +47,13 @@ def main(args):
         latents, context, num_steps=args.time_steps, is_opt=args.is_opt,
         capture_timestep=args.ft_timesteps,
     )
-    save_trajectory(np.asarray(traj), paths["inversion"])
+    save_trajectory(fetch_array(traj), paths["inversion"])
     if feat is not None:
         save_feature_pt(np.asarray(feat), paths["features"], args.ft_indices, args.ft_timesteps)
 
     print("reconstruction:")
     lat0 = pipe.reconstruct_latents(traj[-1], context, num_steps=args.time_steps)
-    video = np.asarray(pipe.decode_latents(lat0))
+    video = fetch_array(pipe.decode_latents(lat0))
     save_video(video, os.path.join(paths["reconstruction"], "content_video.mp4"))
     print(f"done -> {paths['base']}")
 

@@ -13,6 +13,8 @@ import os
 
 import numpy as np
 
+from univst_tpu.utils.io import fetch_array
+
 from univst_tpu.cli.common import make_output_tree, parse_dtype, save_feature_pt, setup_jax
 from univst_tpu.utils.io import load_video, save_video, seed_everything
 
@@ -53,7 +55,7 @@ def main(args):
         latents, context, pooled, num_steps=args.time_steps,
         is_rf_solver=args.is_rf_solver, capture_step=args.ft_timesteps,
     )
-    save_trajectory(np.asarray(traj), paths["inversion"], reference_rank=4)
+    save_trajectory(fetch_array(traj), paths["inversion"], reference_rank=4)
     if feat is not None:
         save_feature_pt(np.asarray(feat), paths["features"], args.ft_indices, args.ft_timesteps)
 
@@ -62,7 +64,7 @@ def main(args):
         traj[-1], latents, context, pooled, num_steps=args.time_steps,
         eta_base=0.85, eta_trend="constant", start_step=25, end_step=39,
     )
-    video = np.asarray(pipe.decode_latents(lat0))
+    video = fetch_array(pipe.decode_latents(lat0))
     save_video(video, os.path.join(paths["reconstruction"], "content_video.mp4"), fps=8)
     print(f"done -> {paths['base']}")
 

@@ -19,6 +19,8 @@ import os
 
 import numpy as np
 
+from univst_tpu.utils.io import fetch_array
+
 from univst_tpu.cli.common import build_pipeline_from_args, make_output_tree, setup_jax
 from univst_tpu.utils.io import load_style_image, save_video, seed_everything
 
@@ -54,7 +56,7 @@ def main(args):
 
     print("reconstruction:")
     lat0 = pipe.reconstruct_latents(traj[-1], context, num_steps=args.time_steps)
-    video = np.asarray(pipe.decode_latents(lat0))
+    video = fetch_array(pipe.decode_latents(lat0))
     if single and num_frames_out > 1:
         video = np.tile(video, (num_frames_out, 1, 1, 1))
     save_video(video, os.path.join(paths["reconstruction"], "style_video.mp4"), fps=8)

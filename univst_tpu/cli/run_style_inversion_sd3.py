@@ -13,6 +13,8 @@ import os
 
 import numpy as np
 
+from univst_tpu.utils.io import fetch_array
+
 from univst_tpu.cli.common import make_output_tree, setup_jax
 from univst_tpu.cli.run_content_inversion_sd3 import build_sd3_pipeline
 from univst_tpu.utils.io import load_style_image, save_video, seed_everything
@@ -51,7 +53,7 @@ def main(args):
         traj[-1], latents, context, pooled, num_steps=args.time_steps,
         eta_base=0.85, eta_trend="constant", start_step=25, end_step=39,
     )
-    video = np.asarray(pipe.decode_latents(lat0))
+    video = fetch_array(pipe.decode_latents(lat0))
     if num_frames_out > 1:
         video = np.tile(video, (num_frames_out, 1, 1, 1))
     save_video(video, os.path.join(paths["reconstruction"], "style_video.mp4"), fps=8)

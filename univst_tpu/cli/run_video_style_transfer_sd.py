@@ -12,6 +12,8 @@ import os
 
 import numpy as np
 
+from univst_tpu.utils.io import fetch_array
+
 from univst_tpu.cli.common import build_pipeline_from_args, setup_jax
 from univst_tpu.utils.io import load_mask, save_frames, seed_everything
 
@@ -79,7 +81,7 @@ def main(args):
         content_rev, style_rev, init_latents, context3, mask=mask,
         cfg=StyleTransferConfig(num_steps=args.time_steps, smoother=args.smoother),
     )
-    frames = np.asarray(pipe.decode_latents_uint8(out))
+    frames = fetch_array(pipe.decode_latents_uint8(out))
 
     content_name = os.path.normpath(args.content_inv_path).split(os.sep)[-2]
     style_name = os.path.normpath(args.style_inv_path).split(os.sep)[-2]

@@ -201,6 +201,21 @@ class SDVideoPipeline:
         tunnel costs ~4x the bytes (~1 s for 16 frames @512)."""
         return _decode_latents_u8(self, self.vae_params, latents)
 
+    def decode_latents_uint8_chunks(self, latents, chunk: int):
+        """Chunked temporal-VAE decode (the reference's ``decode_chunk_size``
+        knob, stable_diffusion.py:369-385: each chunk passes its own frame
+        count to the temporal decoder). Returns one device array per chunk —
+        dispatched async, so the host can fetch chunk i while chunk i+1
+        decodes (overlaps the slow tunnel transfer with compute)."""
+        n = latents.shape[0]
+        if chunk >= n:
+            return [_decode_latents_u8(self, self.vae_params, latents)]
+        assert n % chunk == 0, (n, chunk)
+        return [
+            _decode_slice_u8(self, self.vae_params, latents, s, chunk)
+            for s in range(0, n, chunk)
+        ]
+
     # -- denoiser closures ----------------------------------------------------
 
     def _denoise_fn(self, unet_params, context, frame_indices,
@@ -252,9 +267,13 @@ class SDVideoPipeline:
                capture_timestep: Optional[int] = None):
         """Content/style inversion -> (trajectory [N+1,...], captured feature).
         (reference ddim_inversion, inversion_tools/ddim_inversion.py:71-84)"""
+        import numpy as np
+
         chunk = self._exec_chunk(num_steps)
-        ts = jnp.asarray(self.schedule.timesteps(num_steps)[::-1].copy())
-        steps = jnp.arange(num_steps)
+        # host-side schedule: per-chunk slices are free numpy ops that ship
+        # with the jit call (an eager device slice is a remote dispatch)
+        ts = self.schedule.timesteps(num_steps)[::-1].copy()
+        steps = np.arange(num_steps)
         latents = latents.astype(jnp.float32)
         captured = None
         if capture_timestep is not None and self.unet.cfg.capture_up_block is not None:
@@ -285,9 +304,11 @@ class SDVideoPipeline:
         scale 1 as a pure optimization. ``guidance_scale > 1`` runs the
         faithful [uncond | cond] batch; ``uncond_context`` defaults to the
         null-prompt embedding."""
+        import numpy as np
+
         chunk = self._exec_chunk(num_steps)
-        ts = jnp.asarray(self.schedule.timesteps(num_steps).copy())
-        steps = jnp.arange(num_steps)
+        ts = self.schedule.timesteps(num_steps).copy()
+        steps = np.arange(num_steps)
         latent = latents_T.astype(jnp.float32)
         if guidance_scale > 1.0:
             uc = uncond_context if uncond_context is not None else self.encode_text("")
@@ -324,9 +345,8 @@ class SDVideoPipeline:
         share one compiled graph (step indices are data, shapes equal)."""
         scfg = style_cfg if style_cfg is not None else self.style_shift_cfg
         n = cfg.num_steps
-        ts_full = jnp.asarray(self.schedule.timesteps(n).copy())
-        steps_full = jnp.arange(n)
-        latents = init_latents.astype(jnp.float32)
+        # host-side schedule; ships as a jit ARGUMENT (no eager transfer op)
+        ts_np = self.schedule.timesteps(n).copy()
         smooth_lo, smooth_hi = cfg.smoother_steps
 
         # Past the shift window the content/style branches are dead compute
@@ -343,34 +363,34 @@ class SDVideoPipeline:
         # branch's PnP K/V for the multi-branch steps; the scan then runs the
         # 2-branch [content | stylized] batch. Exact — see style_singleton.
         if self.style_singleton and cfg.smoother is None:
-            # All per-segment slicing happens INSIDE the jitted graphs (traced
-            # start index) and the phase-constant slices are hoisted out of
-            # the dispatch loops: every eager op here is a remote dispatch
-            # through the TPU tunnel (~0.45 s per segment measured).
-            sty_lats = style_traj_rev[:n, :1]  # [n, 1, h, w, C]
-            sty_k1, cnt_k1 = sty_lats[:k1], content_traj_rev[:k1]
-            steps_k1, ts_k1 = steps_full[:k1], ts_full[:k1]
+            # ZERO eager device ops on this path: every slice/cast/index runs
+            # inside the jitted graphs (an eager op is a remote dispatch
+            # through the TPU tunnel, ~30-50 ms each), and host inputs (the
+            # timestep schedule, python step offsets) ride along as call
+            # arguments.
+            latents = init_latents
             style_kv_all = _style_prepass(
-                self, self.unet_params, sty_k1[:, 0], ts_k1, context3[1:2]
+                self, self.unet_params, style_traj_rev, ts_np[:k1], context3, k1
             )
-            context2 = context3[jnp.asarray([0, 2])]
-            context1 = context3[2:3]
-            cnt_n = content_traj_rev[:n]
             for s0, c in phase1:
                 latents = _stylize_chunk_singleton(
-                    self, self.unet_params, cnt_k1, sty_k1,
-                    style_kv_all, latents, steps_k1, ts_k1,
-                    jnp.asarray(s0, jnp.int32), context2, mask, cfg, scfg, c,
+                    self, self.unet_params, content_traj_rev, style_traj_rev,
+                    style_kv_all, latents, ts_np[:k1], s0, context3, mask,
+                    cfg, scfg, c, k1,
                 )
             for s0, c in phase2:
                 latents = _stylize_chunk_solo(
-                    self, self.unet_params, cnt_n, sty_lats,
-                    latents, steps_full, ts_full, jnp.asarray(s0, jnp.int32),
-                    context1, mask, cfg, c,
+                    self, self.unet_params, content_traj_rev,
+                    style_traj_rev[:, :1], latents, ts_np, s0,
+                    context3, mask, cfg, c, n,
                 )
             return latents
 
         # Legacy 3-branch batch (AnimateDiff; SD with the pixel smoother).
+        import numpy as np
+
+        latents = init_latents.astype(jnp.float32)
+        steps_np = np.arange(n)
         if style_traj_rev.shape[1] == 1 and self.num_frames > 1:
             style_traj_rev = jnp.broadcast_to(
                 style_traj_rev, style_traj_rev.shape[:1] + content_traj_rev.shape[1:]
@@ -388,33 +408,30 @@ class SDVideoPipeline:
                         latents = _stylize_smooth_step(
                             self, self.unet_params, self.vae_params,
                             content_traj_rev[i], style_traj_rev[i], latents,
-                            steps_full[i], ts_full[i], context3, mask, cfg, scfg,
+                            steps_np[i], ts_np[i], context3, mask, cfg, scfg,
                         )
                     else:
                         latents = _stylize_chunk(
                             self, self.unet_params,
                             content_traj_rev[i : i + 1], style_traj_rev[i : i + 1],
-                            latents, steps_full[i : i + 1], ts_full[i : i + 1],
+                            latents, steps_np[i : i + 1], ts_np[i : i + 1],
                             context3, mask, cfg, scfg,
                         )
             else:
                 latents = _stylize_chunk(
                     self, self.unet_params,
                     content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
-                    latents, steps_full[s0 : s0 + c], ts_full[s0 : s0 + c],
+                    latents, steps_np[s0 : s0 + c], ts_np[s0 : s0 + c],
                     context3, mask, cfg, scfg,
                 )
         # full per-frame style latents: AnimateDiff style trajectories are
         # NOT frame-identical (motion-module PEs), and the AdaIN re-anchor
         # stats span frames (latent_adain dims [0,3,4])
-        if phase2:
-            cnt_n, sty_n = content_traj_rev[:n], style_traj_rev[:n]
-            ctx1 = context3[2:3]
-            for s0, c in phase2:
-                latents = _stylize_chunk_solo(
-                    self, self.unet_params, cnt_n, sty_n, latents, steps_full,
-                    ts_full, jnp.asarray(s0, jnp.int32), ctx1, mask, cfg, c,
-                )
+        for s0, c in phase2:
+            latents = _stylize_chunk_solo(
+                self, self.unet_params, content_traj_rev, style_traj_rev,
+                latents, ts_np, s0, context3, mask, cfg, c, n,
+            )
         return latents
 
     def __hash__(self):  # allow use as a static jit argument
@@ -451,6 +468,20 @@ def _decode_latents(pipe, vae_params, latents):
 @partial(jax.jit, static_argnames=("pipe",))
 def _decode_latents_u8(pipe, vae_params, latents):
     px = _decode_latents(pipe, vae_params, latents)
+    return jnp.round(px * 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("pipe", "count"))
+def _decode_slice_u8(pipe, vae_params, latents, start, count):
+    """One decode chunk: frames [start, start+count) with the temporal
+    decoder seeing ``count`` frames (reference decode_latents chunking,
+    stable_diffusion.py:378-385)."""
+    z = jax.lax.dynamic_slice_in_dim(latents, start, count, axis=0)
+    z = (z / pipe.vae.cfg.scaling_factor).astype(pipe.dtype)
+    px = pipe.vae.apply(
+        {"params": vae_params}, z, count, method=AutoencoderKL.decode
+    )
+    px = jnp.clip(px.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
     return jnp.round(px * 255.0).astype(jnp.uint8)
 
 
@@ -555,15 +586,20 @@ def _stylize_chunk(pipe, unet_params, content_chunk, style_chunk, latents,
     )
 
 
-@partial(jax.jit, static_argnames=("pipe", "cfg", "chunk"))
+@partial(jax.jit, static_argnames=("pipe", "cfg", "chunk", "n"))
 def _stylize_chunk_solo(pipe, unet_params, content_full, style_full, latents,
-                        steps_full, ts_full, s0, context1, mask, cfg, chunk):
+                        ts_full, s0, context3, mask, cfg, chunk, n):
     """Stylized-only segment for steps past the shift window: the content and
     style branches are dead compute there (the shift gate is False, so the
     patched attention falls back to the stylized branch's own q/k/v and the
     reference discards the other two epsilon chunks, stable_diffusion.py:712).
     The batch drops from 3F/2F to F; the trajectory latents are still consumed
-    by the mask blend / AdaIN re-anchor, which need no forward pass."""
+    by the mask blend / AdaIN re-anchor, which need no forward pass.
+
+    ``content_full``/``style_full`` arrive UNSLICED ([>=n, F|1, h, w, C]) with
+    ``ts_full`` the full host-side schedule and ``s0`` a host int: all
+    slicing/casting runs in-graph (eager ops are remote dispatches)."""
+    context1 = context3[2:3]
     denoise = pipe._denoise_fn(
         unet_params, context1, pipe.pnp_frame_indices, None, pnp_plain=True
     )
@@ -572,41 +608,45 @@ def _stylize_chunk_solo(pipe, unet_params, content_full, style_full, latents,
         eps, _ = denoise(x, t, i)
         return eps
 
+    steps_full = jax.lax.iota(jnp.int32, n)
+
     def sl(a):
-        return jax.lax.dynamic_slice_in_dim(a, s0, chunk, axis=0)
+        return jax.lax.dynamic_slice_in_dim(a[:n], s0, chunk, axis=0)
 
     return style_transfer_ddim_steps(
         denoise1, sl(content_full), sl(style_full), latents.astype(jnp.float32),
-        sl(steps_full), sl(ts_full), pipe.schedule, cfg, mask=mask, solo=True,
+        sl(steps_full), sl(jnp.asarray(ts_full)), pipe.schedule, cfg, mask=mask,
+        solo=True,
     )
 
 
-@partial(jax.jit, static_argnames=("pipe",))
-def _style_prepass(pipe, unet_params, style_lats, ts, context):
+@partial(jax.jit, static_argnames=("pipe", "k1"))
+def _style_prepass(pipe, unet_params, style_traj_rev, ts, context3, k1):
     """Precompute the style branch's projected PnP K/V for ALL steps in one
     batched single-frame call (valid because style-trajectory frames are
-    identical; see SDVideoPipeline.style_singleton). One batch-n call replaces
-    n full style-branch forwards — a 1/3 FLOP cut on the reference's 3-branch
+    identical; see SDVideoPipeline.style_singleton). One batch-k1 call replaces
+    k1 full style-branch forwards — a 1/3 FLOP cut on the reference's 3-branch
     step (stable_diffusion.py:704-710).
 
     Args:
-      style_lats: ``[n, h, w, C]`` — frame 0 of the reversed style trajectory
-        at each step.
-      ts: ``[n]`` per-step timesteps.
-      context: ``[1, 77, Dt]`` style-branch text embedding.
-    Returns: tuple over PNP_SLOT_ORDER of (k, v), each ``[n, L, D]``.
+      style_traj_rev: ``[>=k1, 1|F, h, w, C]`` reversed style trajectory
+        (frame 0 is taken in-graph — style frames are identical).
+      ts: ``[k1]`` per-step timesteps (host array; ships with the call).
+      context3: ``[3, 77, Dt]`` — the style branch embedding is row 1.
+    Returns: tuple over PNP_SLOT_ORDER of (k, v), each ``[k1, L, D]``.
     """
     from univst_tpu.models.unet_sd import extract_pnp_kv
 
-    n = style_lats.shape[0]
+    style_lats = style_traj_rev[:k1, 0]
+    context = context3[1:2]
     vctx = VideoCtx(num_frames=1, frame_indices=())
     sctx = StyleCtx(step_idx=jnp.zeros((), jnp.int32), cfg=pipe.style_shift_cfg,
                     capture=True)
-    ctxn = jnp.broadcast_to(context, (n,) + context.shape[1:])
+    ctxn = jnp.broadcast_to(context, (k1,) + context.shape[1:])
     _, state = pipe.unet.apply(
         {"params": unet_params},
         style_lats.astype(pipe.dtype),
-        ts,
+        jnp.asarray(ts),
         ctxn.astype(pipe.dtype),
         vctx,
         sctx,
@@ -615,14 +655,19 @@ def _style_prepass(pipe, unet_params, style_lats, ts, context):
     return extract_pnp_kv(state["pnp_kv"])
 
 
-@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg", "chunk"))
-def _stylize_chunk_singleton(pipe, unet_params, content_full, style_lat_full,
-                             style_kv_all, latents, steps_full, ts_full, s0,
-                             context2, mask, cfg, style_cfg, chunk):
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg", "chunk", "k1"))
+def _stylize_chunk_singleton(pipe, unet_params, content_full, style_full,
+                             style_kv_all, latents, ts_k1, s0,
+                             context3, mask, cfg, style_cfg, chunk, k1):
+    """Phase-1 singleton segment. Unsliced trajectories + host-side schedule
+    and step offset arrive as arguments; all slicing runs in-graph."""
+    context2 = jnp.concatenate([context3[:1], context3[2:3]], axis=0)
     denoise = pipe._denoise_fn(unet_params, context2, pipe.pnp_frame_indices, style_cfg)
 
+    steps_k1 = jax.lax.iota(jnp.int32, k1)
+
     def sl(a):
-        return jax.lax.dynamic_slice_in_dim(a, s0, chunk, axis=0)
+        return jax.lax.dynamic_slice_in_dim(a[:k1], s0, chunk, axis=0)
 
     def denoise2(x2, t, i, kv):
         # scan unstacks the leading step axis; injected K/V wants [1, L, D]
@@ -631,7 +676,8 @@ def _stylize_chunk_singleton(pipe, unet_params, content_full, style_lat_full,
         return eps
 
     return style_transfer_ddim_steps(
-        denoise2, sl(content_full), sl(style_lat_full),
-        latents.astype(jnp.float32), sl(steps_full), sl(ts_full), pipe.schedule,
-        cfg, mask=mask, style_kv=jax.tree_util.tree_map(sl, style_kv_all),
+        denoise2, sl(content_full), sl(style_full[:, :1]),
+        latents.astype(jnp.float32), sl(steps_k1), sl(jnp.asarray(ts_k1)),
+        pipe.schedule, cfg, mask=mask,
+        style_kv=jax.tree_util.tree_map(sl, style_kv_all),
     )

