@@ -53,11 +53,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    # 13-step segments align the phase boundary exactly with the SD shift
-    # window (26 = 2x13 multi-branch steps, then 24 = 2x12 stylized-only);
-    # the default 10 would round phase 1 up to 30 (pipelines/segments.py).
-    # Still well under the TPU tunnel's ~2 min per-execution watchdog.
-    os.environ.setdefault("UNIVST_EXEC_CHUNK", "13")
+    # One dispatch per phase (26 multi-branch steps, then 24 stylized-only):
+    # a 26-step segment executes in ~11 s, well under the TPU tunnel's ~2 min
+    # per-execution watchdog, and the phase boundary lands exactly on the SD
+    # shift window (pipelines/segments.py).
+    os.environ.setdefault("UNIVST_EXEC_CHUNK", "26")
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")

@@ -87,11 +87,7 @@ def main():
         "no FFN (GEGLU -> x)": lambda: setattr(
             L.FeedForwardGEGLU, "__call__", lambda self, x: x),
         "no GroupNorm (gn -> x)": lambda: setattr(
-            L.GroupNorm, "__call__",
-            lambda self, x: x * self.param(
-                "scale", jax.nn.initializers.ones, (x.shape[-1],), jnp.float32
-            ) + self.param(
-                "bias", jax.nn.initializers.zeros, (x.shape[-1],), jnp.float32)),
+            L.GroupNorm, "__call__", lambda self, x: x),
     }
     for name, patch in ablations.items():
         restore()

@@ -67,18 +67,19 @@ def main():
                 def merge(o):
                     return o.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
 
-                for bq, bk, u in ((1024, 2048, 1), (2048, 2048, 1),
-                                  (1024, 4096, 1), (2048, 4096, 1),
-                                  (4096, 2048, 1), (1024, 1024, 1)):
+                for bq, bk, dual in ((2048, 4096, False), (2048, 4096, True),
+                                     (2048, 2048, True), (4096, 4096, True),
+                                     (1024, 2048, True)):
                     if bq > l or bk > l:
                         continue
 
-                    def kfn(x, bq=bq, bk=bk, u=u, idx=idx):
+                    def kfn(x, bq=bq, bk=bk, dual=dual, idx=idx):
                         xs = split(x)
                         return merge(video_flash_attention(
-                            xs, xs, xs, idx, block_q=bq, block_k=bk, unroll=u))
+                            xs, xs, xs, idx, block_q=bq, block_k=bk, dual=dual))
 
-                    timed(f"kernel {tag} bq={bq} bk={bk} u={u}", scan_of(kfn, q))
+                    timed(f"kernel {tag} bq={bq} bk={bk} dual={int(dual)}",
+                          scan_of(kfn, q))
 
                 def xfn(x, idx=idx):
                     kk = cross_frame_kv(x, F, idx)

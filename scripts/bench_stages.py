@@ -144,5 +144,85 @@ def main():
             prev = t
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("UNIVST_STAGES_MAIN2"):
     main()
+
+
+def marked_public(pipe, content, style, init, context3, mask, cfg):
+    """pipe.stylize_latents body, instrumented per python statement."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from univst_tpu.pipelines.sd import (
+        _style_prepass as pp,
+        _stylize_chunk_singleton as ch1,
+        _stylize_chunk_solo as ch2,
+    )
+    from univst_tpu.pipelines.segments import phase_segments as ps
+    from univst_tpu.utils.io import fetch_array
+
+    marks = [("t0", _t.perf_counter())]
+    scfg = pipe.style_shift_cfg
+    n = cfg.num_steps
+    ts_np = pipe.schedule.timesteps(n).copy()
+    window_end = scfg.window_end()
+    phase1, phase2 = ps(n, window_end)
+    k1 = phase2[0][0] if phase2 else n
+    marks.append(("setup", _t.perf_counter()))
+    latents = init
+    kv = pp(pipe, pipe.unet_params, style, ts_np[:k1], context3, k1)
+    marks.append(("prepass call", _t.perf_counter()))
+    for s0, c in phase1:
+        latents = ch1(pipe, pipe.unet_params, content, style, kv, latents,
+                      ts_np[:k1], s0, context3, mask, cfg, scfg, c, k1)
+    marks.append(("phase1 calls", _t.perf_counter()))
+    sty1 = style[:, :1]
+    marks.append(("style[:, :1] eager", _t.perf_counter()))
+    for s0, c in phase2:
+        latents = ch2(pipe, pipe.unet_params, content, sty1, latents, ts_np,
+                      s0, context3, mask, cfg, c, n)
+    marks.append(("phase2 calls", _t.perf_counter()))
+    chunks = pipe.decode_latents_uint8_chunks(latents, chunk=8)
+    marks.append(("decode calls", _t.perf_counter()))
+    import numpy as _np
+    out = _np.concatenate([fetch_array(c) for c in chunks])
+    marks.append(("fetch", _t.perf_counter()))
+    prev = marks[0][1]
+    for name, t in marks[1:]:
+        print(f"  pub {name:22s} +{(t-prev)*1e3:9.1f} ms")
+        prev = t
+    return out
+
+
+def main2():
+    import jax
+    import jax.numpy as jnp
+    frames, size, steps = 16, 512, 50
+    pipe = SDVideoPipeline.build(variant="sd15", num_frames=frames,
+                                 height=size, width=size, seed=0)
+    h8 = size // 8
+    key = jax.random.PRNGKey(0)
+    ka, kb, kc, kd = jax.random.split(key, 4)
+    content = jax.random.normal(ka, (steps + 1, frames, h8, h8, 4), jnp.float32)
+    style = jax.random.normal(kb, (steps + 1, 1, h8, h8, 4), jnp.float32)
+    init = jax.random.normal(kc, (frames, h8, h8, 4), jnp.float32)
+    mask = (jax.random.uniform(kd, (frames, size, size)) > 0.5).astype(jnp.float32)
+    context3 = jnp.concatenate([pipe.encode_text("")] * 3, axis=0)
+    cfg = StyleTransferConfig(num_steps=steps)
+    for rep in range(3):
+        t0 = time.perf_counter()
+        marked_public(pipe, content, style, init, context3, mask, cfg)
+        print(f"  pub total rep{rep}: {(time.perf_counter()-t0):.2f} s")
+    # and the REAL public API for comparison
+    from univst_tpu.utils.io import fetch_array
+    for rep in range(2):
+        t0 = time.perf_counter()
+        out = pipe.stylize_latents(content, style, init, context3, mask=mask, cfg=cfg)
+        chunks = pipe.decode_latents_uint8_chunks(out, chunk=8)
+        np.concatenate([fetch_array(c) for c in chunks])
+        print(f"  REAL public rep{rep}: {(time.perf_counter()-t0):.2f} s")
+
+
+if __name__ == "__main__" and os.environ.get("UNIVST_STAGES_MAIN2"):
+    main2()

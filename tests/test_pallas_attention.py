@@ -30,9 +30,14 @@ def _naive(q, k, v, indices):
 @pytest.mark.parametrize("indices", [(-1, "first"), ("first", -1, 0)])
 # dh=32 exercises the MXU sum-lane variant (spare padding lane carries the
 # softmax row-sum); dh=128 the VPU running-sum fallback (no spare lane);
-# unroll=2 the software-pipelined sub-block path (VPU/MXU overlap)
-@pytest.mark.parametrize("dh,unroll", [(32, 1), (128, 1), (32, 2), (128, 2)])
-def test_video_flash_matches_naive(indices, dh, unroll):
+# unroll=2 the sub-block path; dual the independent-row-block pair whose
+# softmax chains interleave with the matmuls
+@pytest.mark.parametrize(
+    "dh,unroll,dual",
+    [(32, 1, False), (128, 1, False), (32, 2, False), (128, 2, False),
+     (32, 1, True), (128, 1, True)],
+)
+def test_video_flash_matches_naive(indices, dh, unroll, dual):
     rng = np.random.default_rng(0)
     b, f, h, l = 1, 4, 2, 256
     q = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
@@ -40,7 +45,7 @@ def test_video_flash_matches_naive(indices, dh, unroll):
     v = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
     got = np.asarray(
         video_flash_attention(q, k, v, indices, block_q=128, block_k=128,
-                              unroll=unroll, interpret=True)
+                              unroll=unroll, dual=dual, interpret=True)
     )
     want = _naive(q, k, v, indices)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

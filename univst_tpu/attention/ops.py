@@ -314,14 +314,14 @@ def video_mha(q, k, v, num_heads: int, num_frames: int,
             return x.reshape(b, f, l, num_heads, dh).transpose(0, 1, 3, 2, 4)
 
         dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
-        # tuned on v5e (bench_attn_tune.py): (2048, 4096) blocks at the 64x64
-        # level beat (1024, 1024) by ~15% — the kernel raises the Mosaic VMEM
-        # limit to admit the 32 MB fp32 logit block
+        # tuned on v5e (bench_attn_tune.py): (4096, 4096) dual-row blocks at
+        # the 64x64 level beat (1024, 1024) by ~18% — the kernel raises the
+        # Mosaic VMEM limit to admit the fp32 logit blocks
         out = video_flash_attention(
             split(q).astype(dt), split(k).astype(dt), split(v).astype(dt),
             tuple(frame_indices),
             sm_scale=float(dh**-0.5 if scale is None else scale),
-            block_q=min(2048, l), block_k=min(4096, l),
+            block_q=min(4096, l), block_k=min(4096, l),
         ).astype(q.dtype)
         return out.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
     if frame_indices:

@@ -37,6 +37,7 @@ _NEG_INF = -1e30
 def _kernel(
     # scalar prefetch
     srcs_ref,  # [F, S] int32
+    mult_ref,  # [F, S] int32 slot multiplicity; 0 = dropped duplicate slot
     # inputs (blocked)
     q_ref,     # [1, bq, dh]
     k_ref,     # [1, bk, dh]
@@ -50,8 +51,12 @@ def _kernel(
     *,
     sm_scale: float,
     kv_steps: int,
+    nk: int,
+    fh: int,
+    h: int,
     sum_lane: int | None,
     unroll: int = 1,
+    dual: bool = False,
 ):
     # At the video shapes this kernel is VPU-bound, not MXU-bound: the
     # per-logit elementwise chain costs more than the two padded matmuls
@@ -75,40 +80,69 @@ def _kernel(
         if sum_lane is None:
             l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = (q_ref[0].astype(jnp.float32) * (sm_scale * 1.4426950408889634)).astype(
-        q_ref.dtype
-    )
-    k = k_ref[0]
-    v = v_ref[0]
-    # Statically unrolled sub-blocks of the KV block: straight-line code over
-    # independent sub-slices lets the Mosaic scheduler overlap sub-block j+1's
-    # QK matmul (MXU) with sub-block j's softmax chain (VPU) — with one
-    # serialized chain the kernel runs at MXU-time + VPU-time instead of
-    # max(MXU, VPU).
-    bk = k.shape[0] // unroll
-    for j in range(unroll):
-        kj = jax.lax.slice_in_dim(k, j * bk, (j + 1) * bk, axis=0)
-        s = jax.lax.dot_general(
-            q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk] base-2 logits
+    # Duplicate-slot elision: softmax over duplicated keys equals softmax
+    # over one copy with its probability mass scaled by the multiplicity
+    # (e.g. frame 0 under [-1, 0, 'first'] attends frame 0 three times).
+    # Dropped slots (mult 0) skip the whole block body — the MXU work
+    # vanishes; kept representative slots scale the PV contribution (and the
+    # in-acc softmax sum, which rides the same matmul) by mult. Exact.
+    tgt_f = (pl.program_id(0) % fh) // h
+    mult = mult_ref[tgt_f, ikv // nk]
 
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)
-        if sum_lane is None:
-            l_ref[...] = jnp.broadcast_to(
-                alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True),
-                l_ref.shape,
+    @pl.when(mult > 0)
+    def _body():
+        q = (q_ref[0].astype(jnp.float32) * (sm_scale * 1.4426950408889634)
+             ).astype(q_ref.dtype)
+        k = k_ref[0]
+        v = v_ref[0]
+        scale = mult.astype(jnp.float32)
+
+        def qk(qr, kr):
+            return jax.lax.dot_general(
+                qr, kr, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rows, bk] base-2 logits
+
+        def chain(s, rows, vr):
+            """Online-softmax update of rows ``rows`` of the accumulators."""
+            m_prev = m_ref[rows, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(s - m_new)
+            if sum_lane is None:
+                l_ref[rows] = jnp.broadcast_to(
+                    alpha * l_ref[rows, :1]
+                    + scale * jnp.sum(p, axis=1, keepdims=True),
+                    l_ref[rows].shape,
+                )
+            acc_ref[rows] = acc_ref[rows] * alpha + scale * jax.lax.dot_general(
+                p.astype(vr.dtype), vr, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            m_ref[rows] = jnp.broadcast_to(m_new, m_ref[rows].shape)
 
-        vj = jax.lax.slice_in_dim(v, j * bk, (j + 1) * bk, axis=0)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), vj, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        if dual:
+            # Two INDEPENDENT q row-blocks per program: both QK matmuls issue
+            # first, then the two softmax chains. Chain A only depends on
+            # s_A, so the VLIW scheduler can run chain A's VPU work under
+            # s_B / PV_B MXU time — unlike sub-block unrolling over the KV
+            # axis, where the chains serialize through the shared running max.
+            bqh = q.shape[0] // 2
+            ra, rb = slice(0, bqh), slice(bqh, 2 * bqh)
+            s_a = qk(q[ra], k)
+            s_b = qk(q[rb], k)
+            chain(s_a, ra, v)
+            chain(s_b, rb, v)
+        else:
+            # Statically unrolled sub-blocks of the KV block (kept for
+            # reference: measured consistently SLOWER on v5e — the chains
+            # share the running max, so Mosaic serializes them).
+            bk = k.shape[0] // unroll
+            for j in range(unroll):
+                kj = jax.lax.slice_in_dim(k, j * bk, (j + 1) * bk, axis=0)
+                vj = jax.lax.slice_in_dim(v, j * bk, (j + 1) * bk, axis=0)
+                chain(qk(q, kj), slice(None), vj)
 
     @pl.when(ikv == kv_steps - 1)
     def _finish():
@@ -122,7 +156,7 @@ def _kernel(
 def video_flash_attention(
     q, k, v, frame_indices: Sequence, sm_scale: float | None = None,
     block_q: int = 1024, block_k: int = 1024, unroll: int | None = None,
-    interpret: bool = False,
+    dual: bool | None = None, interpret: bool = False,
 ):
     """Attention where each frame's KV is the concat of the frames selected by
     ``frame_indices`` — computed WITHOUT materializing the expanded KV.
@@ -161,13 +195,21 @@ def video_flash_attention(
     srcs = np.stack(resolve_frame_indices(tuple(frame_indices), f), axis=1)  # [F, S]
     s_slots = srcs.shape[1]
     kv_steps = s_slots * nk
+    # per-(frame, slot) multiplicity: first occurrence of a source frame
+    # keeps the slot with count = #duplicates, later occurrences drop to 0
+    mult = np.zeros_like(srcs)
+    for fi in range(f):
+        for sj in range(s_slots):
+            if (srcs[fi, :sj] == srcs[fi, sj]).any():
+                continue  # duplicate of an earlier slot -> dropped
+            mult[fi, sj] = int((srcs[fi] == srcs[fi, sj]).sum())
 
     qv = q.reshape(b * f * h, l, dh_pad)
 
-    def q_map(ibfh, iq, ikv, srcs_ref):
+    def q_map(ibfh, iq, ikv, srcs_ref, mult_ref):
         return (ibfh, iq, 0)
 
-    def kv_map(ibfh, iq, ikv, srcs_ref):
+    def kv_map(ibfh, iq, ikv, srcs_ref, mult_ref):
         fh = ibfh % (f * h)
         tgt_f = fh // h
         hh = fh % h
@@ -177,7 +219,7 @@ def video_flash_attention(
         return (bb * f * h + src_f * h + hh, ikv % nk, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b * f * h, nq, kv_steps),
         in_specs=[
             pl.BlockSpec((1, bq, dh_pad), q_map),
@@ -191,9 +233,11 @@ def video_flash_attention(
             pltpu.VMEM((bq, dh_pad), jnp.float32),
         ],
     )
+    if dual is None:
+        dual = bq >= 256 and bq % 2 == 0
     kern = functools.partial(
-        _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, sum_lane=sum_lane,
-        unroll=unroll,
+        _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, nk=nk,
+        fh=f * h, h=h, sum_lane=sum_lane, unroll=unroll, dual=dual,
     )
     out = pl.pallas_call(
         kern,
@@ -207,7 +251,7 @@ def video_flash_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jnp.asarray(srcs, jnp.int32), qv,
+    )(jnp.asarray(srcs, jnp.int32), jnp.asarray(mult, jnp.int32), qv,
       k.reshape(b * f * h, l, dh_pad), v.reshape(b * f * h, l, dh_pad))
     out = out.reshape(b, f, h, l, dh_pad)
     return out[..., :dh] if dh_pad != dh else out

@@ -47,22 +47,23 @@ class StyleShiftConfig:
     num_steps: int = 50
     window_mode: str = "sd"
 
+    def _bounds(self):
+        """(lo, hi, hi_inclusive) of the step window in float step units."""
+        n = float(self.num_steps)
+        if self.window_mode == "sd":
+            return self.eta1, self.eta2 * n, True
+        if self.window_mode == "ad":
+            return self.eta1 * n, self.eta2 * n, False
+        if self.window_mode == "sd3":
+            return self.eta1 * n, self.eta2 * n, True
+        raise ValueError(self.window_mode)
+
     def window_gate(self, step_idx):
         """Traced bool: does the shift apply at this denoising step index?"""
         i = jnp.asarray(step_idx, jnp.float32)
-        n = float(self.num_steps)
-        if self.window_mode == "sd":
-            lo_ok = i >= self.eta1
-            hi_ok = i <= self.eta2 * n
-        elif self.window_mode == "ad":
-            lo_ok = i >= self.eta1 * n
-            hi_ok = i < self.eta2 * n
-        elif self.window_mode == "sd3":
-            lo_ok = i >= self.eta1 * n
-            hi_ok = i <= self.eta2 * n
-        else:
-            raise ValueError(self.window_mode)
-        return jnp.logical_and(lo_ok, hi_ok)
+        lo, hi, inclusive = self._bounds()
+        hi_ok = i <= hi if inclusive else i < hi
+        return jnp.logical_and(i >= lo, hi_ok)
 
     def beta(self, step_idx):
         """Traced KV-blend weight: linear beta_max -> beta_min over the window
@@ -81,10 +82,15 @@ class StyleShiftConfig:
         predictions are discarded (reference keeps only the third chunk,
         stable_diffusion.py:712) — so the pipelines drop to a stylized-only
         batch for steps >= window_end().
+
+        Pure host arithmetic — a previous version evaluated the traced
+        ``window_gate`` per step, which eagerly dispatched ~3 device ops per
+        iteration (2.3 s per stylize call through the remote-TPU tunnel).
         """
+        lo, hi, inclusive = self._bounds()
         last = -1
         for i in range(self.num_steps):
-            if bool(self.window_gate(i)):
+            if i >= lo and (i <= hi if inclusive else i < hi):
                 last = i
         return last + 1
 
