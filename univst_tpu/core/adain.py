@@ -37,10 +37,15 @@ def _std_unbiased(x, axis, keepdims=True):
 
 
 def _instance_norm(x, axis):
-    """Biased normalization with eps, matching F.instance_norm over `axis`."""
+    """Biased normalization with eps, matching F.instance_norm over `axis`.
+
+    Stats via sibling E[x]/E[x^2] reductions (one fused input pass — the
+    dependent mean-then-var form costs an extra full pass per call on the
+    8-layer K/V shift path)."""
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.var(x, axis=axis, keepdims=True)
+    sq = jnp.mean(jnp.square(x), axis=axis, keepdims=True)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
     return (x - mean) / jnp.sqrt(var + _EPS)
 
 
