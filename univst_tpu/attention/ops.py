@@ -268,7 +268,9 @@ def sdpa(q, k, v, scale: float | None = None):
 def _flash_eligible(tq: int, s: int, dh: int) -> bool:
     """Use the Pallas TPU flash kernel for large sequences: the naive path
     materializes [B, H, L, S] logits (26+ GB at 512px with the 3-branch
-    batch), flash streams KV blocks through VMEM instead."""
+    batch, and entirely infeasible for SD3's joint attention at 1024px),
+    flash streams KV blocks through VMEM instead. Non-128-multiple KV
+    lengths are padded and masked via segment ids in :func:`mha`."""
     import os
 
     if os.environ.get("UNIVST_DISABLE_FLASH"):
@@ -279,7 +281,7 @@ def _flash_eligible(tq: int, s: int, dh: int) -> bool:
     # layers only occur at L <= 256 where naive logits are small anyway
     if dh > 128 and dh % 128 != 0:
         return False
-    return tq >= 256 and tq % 128 == 0 and s % 128 == 0
+    return tq >= 256 and s >= 128
 
 
 def video_mha(q, k, v, num_heads: int, num_frames: int,
@@ -343,29 +345,74 @@ def mha(q, k, v, num_heads: int, scale: float | None = None):
     def split(x, t):
         return x.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
 
-    qh, kh, vh = split(q, tq), split(k, s), split(v, s)
+    out = heads_attention(split(q, tq), split(k, s), split(v, s), scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+
+
+def heads_attention(qh, kh, vh, scale: float | None = None):
+    """Attention on per-head ``[B, heads, T, Dh]`` tensors (the SD3/MMDiT
+    joint-attention layout); returns the same layout.
+
+    Flash-eligible shapes stream through the Pallas TPU kernel with q/KV
+    padded to the lane width and the KV tail masked via segment ids — the
+    naive path materializes [B, H, T, S] fp32 logits, which is infeasible
+    for SD3's joint [img*frames | text] attention at 1024px (hundreds of
+    GB; the reference leans on torch SDPA's implicit flash here)."""
+    b, _, tq, dh = qh.shape
+    s = kh.shape[2]
     if _flash_eligible(tq, s, dh):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
+            SegmentIds,
             flash_attention,
         )
 
+        tq_pad = ((tq + 127) // 128) * 128
+        if tq_pad != tq:
+            # pad q rows to the lane width; they attend the real KV and the
+            # extra output rows are sliced off below
+            qh = jnp.pad(qh, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
+
+        segment_ids = None
+        s_pad = ((s + 127) // 128) * 128
+        if s_pad != s:
+            # pad KV to the lane width and mask the tail via segment ids
+            # (q tokens are segment 0; padded kv tokens segment 1 never
+            # match) — this lets SD3's joint [img*frames | text] sequences
+            # (S not a multiple of 128) stream through the flash kernel
+            # instead of materializing [B, H, T, S] logits
+            pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+            kh, vh = jnp.pad(kh, pad), jnp.pad(vh, pad)
+            kv_seg = jnp.broadcast_to(
+                (jnp.arange(s_pad, dtype=jnp.int32) >= s).astype(jnp.int32),
+                (b, s_pad),
+            )
+            segment_ids = SegmentIds(
+                q=jnp.zeros((b, tq_pad), jnp.int32), kv=kv_seg
+            )
+            s = s_pad
+
         # Tuned on v5e for the SD video shapes (L=4096/S=8192, dh=40):
-        # the library defaults run ~7x slower at small head_dim.
-        bq = min(1024, tq)
-        bkm = min(1024, s)
-        bk = min(512, s)
+        # the library defaults run ~7x slower at small head_dim. Block sizes
+        # must divide the (128-padded) sequence lengths.
+        def _div(n, cap):
+            return max(bs for bs in (1024, 512, 256, 128) if bs <= cap and n % bs == 0)
+
+        bq = _div(tq_pad, min(1024, tq_pad))
+        bkm = _div(s, min(1024, s))
+        bk = _div(s, min(512, s))
         bs = BlockSizes(
             block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bkm, block_k_dkv=bk,
             block_q_dkv=bq, block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
         )
         sm_scale = float(dh**-0.5 if scale is None else scale)
-        dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+        dt = jnp.bfloat16 if qh.dtype != jnp.float32 else jnp.float32
         out = flash_attention(
-            qh.astype(dt), kh.astype(dt), vh.astype(dt), sm_scale=sm_scale,
-            block_sizes=bs,
-        ).astype(q.dtype)
-    else:
-        out = sdpa(qh, kh, vh, scale=scale)
-    return out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+            qh.astype(dt), kh.astype(dt), vh.astype(dt),
+            segment_ids=segment_ids, sm_scale=sm_scale, block_sizes=bs,
+        ).astype(qh.dtype)
+        if tq_pad != tq:
+            out = out[:, :, :tq]
+        return out
+    return sdpa(qh, kh, vh, scale=scale)

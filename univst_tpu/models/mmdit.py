@@ -33,7 +33,7 @@ from univst_tpu.attention.ops import (
     apply_style_shift_sd3_injected,
     apply_style_shift_sd3,
     cross_frame_kv_heads,
-    sdpa,
+    heads_attention,
 )
 from univst_tpu.models.layers import StyleCtx, TimestepEmbedMLP, VideoCtx, timestep_embedding
 
@@ -226,7 +226,7 @@ class JointAttention(nn.Module):
         q = jnp.concatenate([q, cq], axis=2)
         k = jnp.concatenate([k, ck], axis=2)
         v = jnp.concatenate([v, cv], axis=2)
-        out = sdpa(q, k, v)
+        out = heads_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
         x_out, ctx_out = out[:, :n], out[:, n:]
         x_out = nn.Dense(d, dtype=self.dtype, name="to_out")(x_out)
@@ -277,7 +277,7 @@ class DualSelfAttention(nn.Module):
         if video_ctx.is_video and video_ctx.frame_indices:
             k = cross_frame_kv_heads(k, video_ctx.num_frames, video_ctx.frame_indices)
             v = cross_frame_kv_heads(v, video_ctx.num_frames, video_ctx.frame_indices)
-        out = sdpa(q, k, v)
+        out = heads_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
         return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
 
