@@ -1,0 +1,83 @@
+"""SD3 stylization smoke at reference scale on the real TPU.
+
+Runs a few steps of the 3-branch SD3 video style transfer at 1024px /
+16 frames (the reference SD3 default, run_content_inversion_sd3.py:109-110)
+with random weights and synthetic trajectories — proves the joint-attention
+flash path + memory behavior at real shapes (the naive path would need
+hundreds of GB of logits). Usage:
+  python scripts/smoke_sd3_tpu.py [--size 1024] [--steps 4] [--variant sd3]
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.environ.setdefault("UNIVST_EXEC_CHUNK", "2")
+jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from univst_tpu.core.config import StyleTransferConfig
+from univst_tpu.pipelines.sd3 import SD3VideoPipeline
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--variant", default="sd3")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    pipe = SD3VideoPipeline.build(
+        variant=args.variant, num_frames=args.frames, height=args.size,
+        width=args.size, seed=0,
+    )
+    print(f"build: {time.time()-t0:.1f}s")
+    h8 = args.size // 8
+    lat_c = pipe.vae.cfg.latent_channels
+    key = jax.random.PRNGKey(0)
+    ka, kb, kc, kd = jax.random.split(key, 4)
+    n = args.steps
+    content = jax.random.normal(ka, (n + 1, args.frames, h8, h8, lat_c), jnp.float32)
+    style = jax.random.normal(kb, (n + 1, 1, h8, h8, lat_c), jnp.float32)
+    init = jax.random.normal(kc, (args.frames, h8, h8, lat_c), jnp.float32)
+    mask = (jax.random.uniform(kd, (args.frames, args.size, args.size)) > 0.5
+            ).astype(jnp.float32)
+    img_latents = content[0]
+    context, pooled = pipe.encode_prompt("")
+    pipe.free_text_encoders()  # ~11 GB back before the denoise loop
+    context3 = jnp.concatenate([context] * 3, axis=0)
+    pooled3 = jnp.concatenate([pooled] * 3, axis=0)
+    print(f"context {context3.shape} img_tokens {(h8 // 2) ** 2} "
+          f"joint_len {(h8 // 2) ** 2 + context.shape[1]}")
+
+    cfg = StyleTransferConfig(num_steps=n)
+    t0 = time.time()
+    out = pipe.stylize_latents(
+        content, style, init, img_latents, context3, pooled3, mask=mask, cfg=cfg
+    )
+    arr = np.asarray(out)
+    dt = time.time() - t0
+    assert np.isfinite(arr).all(), "non-finite stylized latents"
+    print(f"stylize {n} steps @ {args.size}px x {args.frames}f: {dt:.1f}s "
+          f"(incl. compile) -> {arr.shape}, finite ok")
+
+    # steady-state step time
+    t0 = time.time()
+    out = pipe.stylize_latents(
+        content, style, init, img_latents, context3, pooled3, mask=mask, cfg=cfg
+    )
+    np.asarray(out)
+    dt = time.time() - t0
+    print(f"warm: {dt:.2f}s total, {dt/n*1e3:.0f} ms/step "
+          f"-> est. 50-step run {dt/n*50:.1f}s = "
+          f"{args.frames/(dt/n*50):.3f} frames/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -367,14 +367,20 @@ def heads_attention(qh, kh, vh, scale: float | None = None):
             flash_attention,
         )
 
-        tq_pad = ((tq + 127) // 128) * 128
+        # Pad to 512-multiples for long sequences so the block-size divisor
+        # rule below can pick real blocks (e.g. SD3's joint T=4429 would
+        # otherwise force 128-wide blocks); short sequences pad to the lane
+        # width only.
+        align_q = 512 if tq >= 1024 else 128
+        align_s = 512 if s >= 1024 else 128
+        tq_pad = -(-tq // align_q) * align_q
         if tq_pad != tq:
-            # pad q rows to the lane width; they attend the real KV and the
-            # extra output rows are sliced off below
+            # pad q rows; they attend the real KV and the extra output rows
+            # are sliced off below
             qh = jnp.pad(qh, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
 
         segment_ids = None
-        s_pad = ((s + 127) // 128) * 128
+        s_pad = -(-s // align_s) * align_s
         if s_pad != s:
             # pad KV to the lane width and mask the tail via segment ids
             # (q tokens are segment 0; padded kv tokens segment 1 never

@@ -122,26 +122,42 @@ class SD3VideoPipeline:
         clip_g = CLIPTextModel(gcfg, dtype=dtype)
         t5 = T5Encoder(tcfg, dtype=dtype)
 
+        # The reference loads the whole SD3 stack in bfloat16
+        # (run_content_inversion_sd3.py:106) — and fp32 residency does not fit
+        # a 16 GB chip anyway (T5-XXL alone is 19 GB fp32). Params are cast
+        # inside the init jit so no fp32 copy ever lands in HBM. The tiny
+        # test variant keeps fp32 for exactness tests.
+        param_dtype = dtype if variant != "tiny" else jnp.float32
+
+        def init_cast(module, *a):
+            def go(key):
+                p = module.init(key, *a)["params"]
+                return jax.tree_util.tree_map(
+                    lambda x: x.astype(param_dtype), p
+                )
+
+            return jax.jit(go)
+
         hp, wp = height // 8, width // 8
         key = jax.random.PRNGKey(seed)
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         vctx = VideoCtx(num_frames=num_frames, frame_indices=SD3_FRAME_INDICES)
         ctx_len = 2 * 77 + max_seq if variant != "tiny" else 2 * 7 + max_seq
-        mmdit_params = jax.jit(mmdit.init, static_argnums=(5,))(
-            k1,
+        mmdit_params = init_cast(
+            mmdit,
             jnp.zeros((num_frames, hp, wp, mcfg.in_channels), dtype),
             jnp.asarray(0.0),
             jnp.zeros((1, ctx_len, mcfg.joint_attention_dim), dtype),
             jnp.zeros((1, mcfg.pooled_projection_dim), dtype),
             vctx,
-        )["params"]
-        vae_params = jax.jit(vae.init, static_argnums=(2,))(
-            k2, jnp.zeros((num_frames, 64, 64, 3), dtype), num_frames
-        )["params"]
+        )(k1)
+        vae_params = init_cast(
+            vae, jnp.zeros((num_frames, 64, 64, 3), dtype), num_frames
+        )(k2)
         seq = 77 if variant != "tiny" else 7
-        clip_l_params = jax.jit(clip_l.init)(k3, jnp.zeros((1, seq), jnp.int32))["params"]
-        clip_g_params = jax.jit(clip_g.init)(k4, jnp.zeros((1, seq), jnp.int32))["params"]
-        t5_params = jax.jit(t5.init)(k5, jnp.zeros((1, max_seq), jnp.int32))["params"]
+        clip_l_params = init_cast(clip_l, jnp.zeros((1, seq), jnp.int32))(k3)
+        clip_g_params = init_cast(clip_g, jnp.zeros((1, seq), jnp.int32))(k4)
+        t5_params = init_cast(t5, jnp.zeros((1, max_seq), jnp.int32))(k5)
 
         tok_dir = t5_dir = None
         if pretrained_model_path:
@@ -193,6 +209,16 @@ class SD3VideoPipeline:
         )
 
     # -- text -----------------------------------------------------------------
+
+    def free_text_encoders(self):
+        """Release the text-encoder parameters (T5-XXL alone is ~9.5 GB
+        bf16). Prompts are encoded once per run, so serving on a 16 GB chip
+        encodes first and frees these before the denoise loop; the reference
+        keeps everything resident on its 80 GB GPU. encode_prompt raises
+        after this."""
+        self.t5_params = None
+        self.clip_l_params = None
+        self.clip_g_params = None
 
     def encode_prompt(self, prompt: str):
         """-> (context [1, 2*Lclip..., wait see body], pooled [1, pooled_dim]).
