@@ -49,6 +49,9 @@ def main(args):
     frames = load_video(args.content_path, args.num_frames, (args.width, args.height))
     latents = pipe.encode_frames(frames, jax.random.PRNGKey(args.seed or 0))
     context, pooled = pipe.encode_prompt("")
+    # prompts are encoded once; release the ~11 GB of T5/CLIP params so the
+    # denoise loop fits a 16 GB chip (pipelines/sd3.py free_text_encoders)
+    pipe.free_text_encoders()
 
     print("inversion:")
     traj, feat = pipe.invert(

@@ -48,6 +48,9 @@ def main(args):
         mask = jnp.asarray(load_mask(args.mask_path, args.num_frames))
 
     context, pooled = pipe.encode_prompt("")
+    # prompts are encoded once; release the ~11 GB of T5/CLIP params so the
+    # denoise loop fits a 16 GB chip (pipelines/sd3.py free_text_encoders)
+    pipe.free_text_encoders()
     context3 = jnp.concatenate([context] * 3, axis=0)
     pooled3 = jnp.concatenate([pooled] * 3, axis=0)
 

@@ -259,9 +259,14 @@ class SDVideoPipeline:
 
     # -- top-level workflows (jitted with params as args) ----------------------
 
+    # 26-step segments: one ~11 s dispatch per phase at 512px (SD) and ~20 s
+    # for the AnimateDiff 3-branch batch — both well under the tunnel
+    # watchdog, and the phase boundary lands exactly on the SD shift window.
+    exec_chunk_default: int = 26
+
     def _exec_chunk(self, num_steps: int) -> int:
         """See pipelines/segments.py (TPU tunnel watchdog)."""
-        return exec_chunk(num_steps)
+        return exec_chunk(num_steps, self.exec_chunk_default)
 
     def invert(self, latents, context, num_steps: int = 50, is_opt: bool = True,
                capture_timestep: Optional[int] = None):
@@ -356,7 +361,7 @@ class SDVideoPipeline:
         window_end = scfg.window_end()
         if cfg.smoother is not None:
             window_end = max(window_end, smooth_hi)
-        phase1, phase2 = phase_segments(n, window_end)
+        phase1, phase2 = phase_segments(n, window_end, self.exec_chunk_default)
         k1 = phase2[0][0] if phase2 else n
 
         # Style-singleton fast path: one batched pre-pass computes the style

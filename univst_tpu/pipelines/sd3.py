@@ -259,9 +259,13 @@ class SD3VideoPipeline:
 
         return denoise
 
+    # SD3 at 1024px runs ~8 s/step on one v5e — segments stay small so each
+    # dispatch fits the tunnel watchdog (pipelines/segments.py)
+    exec_chunk_default: int = 4
+
     def _exec_chunk(self, num_steps: int) -> int:
         """See pipelines/segments.py (TPU tunnel watchdog)."""
-        return exec_chunk(num_steps)
+        return exec_chunk(num_steps, self.exec_chunk_default)
 
     def _mu(self, height_latent: int, width_latent: int) -> Optional[float]:
         if not self.schedule.cfg.use_dynamic_shifting:
@@ -365,7 +369,8 @@ class SD3VideoPipeline:
         # Past the shift window the content/style forwards are dead compute
         # (StyleShiftConfig.window_end; the reference keeps only the stylized
         # velocity chunk, custom_pipeline.py:317-320) — run stylized-only.
-        phase1, phase2 = phase_segments(n, style_cfg.window_end())
+        phase1, phase2 = phase_segments(n, style_cfg.window_end(),
+                                        self.exec_chunk_default)
         # per-segment slicing happens INSIDE the jitted graphs (traced start
         # index): eager slices dispatch one remote op per pytree leaf through
         # the TPU tunnel (see pipelines/sd.py)

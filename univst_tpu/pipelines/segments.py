@@ -17,24 +17,29 @@ import os
 import jax
 
 
-def _raw_chunk(num_steps: int) -> int:
+def _raw_chunk(num_steps: int, default: int = 13) -> int:
     """UNIVST_EXEC_CHUNK as given (not divisor-constrained); the full loop on
-    CPU unless the env var is set explicitly (tests force segmentation)."""
+    CPU unless the env var is set explicitly (tests force segmentation).
+
+    ``default`` is the per-pipeline bound when the env var is unset: the
+    tunnel watchdog allows ~2 min per execution, so SD/AD 512px steps can
+    batch 13-26 per dispatch while SD3 at 1024px (~8 s/step) must stay small.
+    """
     raw = os.environ.get("UNIVST_EXEC_CHUNK")
     if raw is None and jax.default_backend() not in ("tpu", "axon"):
         return num_steps
-    return min(int(raw) if raw else 10, num_steps)
+    return min(int(raw) if raw else default, num_steps)
 
 
-def exec_chunk(num_steps: int) -> int:
+def exec_chunk(num_steps: int, default: int = 13) -> int:
     """Largest divisor of num_steps <= UNIVST_EXEC_CHUNK on TPU; the full loop
     elsewhere unless the env var is set explicitly (tests force segmentation
     on CPU)."""
-    chunk = _raw_chunk(num_steps)
+    chunk = _raw_chunk(num_steps, default)
     return max(d for d in range(1, chunk + 1) if num_steps % d == 0)
 
 
-def phase_segments(n: int, window_end: int):
+def phase_segments(n: int, window_end: int, default: int = 13):
     """Split the n-step loop at the shift window for the dead-branch cut.
 
     Returns (phase1_segments, phase2_segments): lists of (start, length).
@@ -44,17 +49,17 @@ def phase_segments(n: int, window_end: int):
     bound. window_end >= n disables the split.
     """
     if window_end >= n or os.environ.get("UNIVST_DISABLE_PHASE_SPLIT"):
-        c = exec_chunk(n)
+        c = exec_chunk(n, default)
         return [(s0, c) for s0 in range(0, n, c)], []
     # Each phase picks its own chunk, so the raw (non-divisor) bound applies:
     # phase 1 rounds the window up to whole chunks (the extra steps are
     # correct — the gate is simply False — just not yet elided); phase 2 takes
     # the largest divisor of its own length.
-    c = _raw_chunk(n)
+    c = _raw_chunk(n, default)
     k1 = min(n, -(-window_end // c) * c)
     k2 = n - k1
     if k2 == 0:
-        c = exec_chunk(n)
+        c = exec_chunk(n, default)
         return [(s0, c) for s0 in range(0, n, c)], []
     c2 = max(d for d in range(1, min(c, k2) + 1) if k2 % d == 0)
     return (
