@@ -109,7 +109,7 @@ def main():
     compile_s = time.time() - t0
 
     times = []
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: the relay adds up to ~10% run-to-run noise
         t0 = time.time()
         run()
         times.append(time.time() - t0)

@@ -23,3 +23,20 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Whole-graph compiles on the 1-core CPU runner are expensive; cache them.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Full-suite runs read the persistent cache but skip WRITES.
+
+    jaxlib 0.9.0's CPU ``executable.serialize()`` segfaults after ~250
+    compilations in a single process (reproduced twice at ~95% of the full
+    suite, including on a freshly wiped cache; every module passes — and
+    serializes the same executables — when run on its own). Subset runs
+    (< 100 tests) keep populating the cache, so iterative development stays
+    warm; the full suite trades cache writes for surviving one process.
+    """
+    if len(items) > 100:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+        import sys
+        print("[conftest] full-suite run: persistent-cache writes disabled",
+              file=sys.stderr)

@@ -16,13 +16,20 @@ def setup_jax(platform: Optional[str] = None, cache_dir: str = "/tmp/univst_jax_
     """
     import jax
 
+    import os
+
     if platform:
         jax.config.update("jax_platforms", platform)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    if not os.environ.get("PYTEST_CURRENT_TEST"):
+        # Leave the test harness's cache policy alone: the full suite runs
+        # with persistent-cache WRITES disabled (tests/conftest.py — jaxlib's
+        # CPU executable.serialize() segfaults after ~250 compiles in one
+        # process), and the in-process CLI e2e tests must not re-enable them.
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     return jax
 
 
