@@ -49,3 +49,52 @@ def test_video_flash_matches_naive(indices, dh, unroll, dual):
     )
     want = _naive(q, k, v, indices)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_block_size_must_divide_length():
+    """Non-dividing blocks raise instead of silently truncating coverage
+    (ADVICE r2: nq = l // bq dropped tail rows)."""
+    q = jnp.zeros((1, 2, 1, 384, 32), jnp.float32)
+    with pytest.raises(ValueError, match="must divide"):
+        video_flash_attention(q, q, q, ("first",), block_q=256, block_k=128)
+    with pytest.raises(ValueError, match="must divide"):
+        video_flash_attention(q, q, q, ("first",), block_q=128, block_k=256)
+
+
+def test_dual_odd_block_raises():
+    q = jnp.zeros((1, 2, 1, 385, 32), jnp.float32)
+    with pytest.raises(ValueError, match="even block_q"):
+        video_flash_attention(q, q, q, ("first",), block_q=385, block_k=385,
+                              dual=True)
+
+
+def test_largest_divisor_block():
+    from univst_tpu.attention.ops import largest_divisor_block
+
+    assert largest_divisor_block(4096) == 4096
+    assert largest_divisor_block(9216) == 1024   # 768x768 -> L=9216
+    assert largest_divisor_block(2304) == 256    # 384x384 at the 64-level
+    assert largest_divisor_block(1152, cap=1024) == 128
+
+
+@pytest.mark.parametrize("tq,s", [(300, 300), (443, 520), (256, 333)])
+def test_heads_attention_flash_padding_matches_sdpa(monkeypatch, tq, s):
+    """The padded-q/padded-KV + SegmentIds flash path in heads_attention,
+    exercised on CPU via TPU interpret mode (ADVICE r2: the path only ran on
+    hardware). Shapes are scaled-down SD3 joint lengths (non-128-multiples)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from univst_tpu.attention import ops
+
+    monkeypatch.setattr(ops.jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(1)
+    b, h, dh = 1, 2, 32
+    qh = jnp.asarray(rng.standard_normal((b, h, tq, dh)), jnp.float32)
+    kh = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    vh = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    assert ops._flash_eligible(tq, s, dh)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ops.heads_attention(qh, kh, vh))
+    want = np.asarray(ops.sdpa(qh, kh, vh))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

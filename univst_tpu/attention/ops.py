@@ -284,6 +284,15 @@ def _flash_eligible(tq: int, s: int, dh: int) -> bool:
     return tq >= 256 and s >= 128
 
 
+def largest_divisor_block(l: int, cap: int = 4096) -> int:
+    """Largest power-of-two flash block size <= ``cap`` that divides ``l``.
+
+    The video kernel's grid is ``l // block`` with no remainder handling, so a
+    non-dividing block would silently skip tail rows; callers must guarantee
+    ``l % 128 == 0``."""
+    return max(bs for bs in (4096, 2048, 1024, 512, 256, 128) if bs <= cap and l % bs == 0)
+
+
 def video_mha(q, k, v, num_heads: int, num_frames: int,
               frame_indices: Sequence[FrameIndex], scale: float | None = None):
     """Sparse-causal video attention on pre-head ``[B*F, L, D]`` tensors.
@@ -318,12 +327,17 @@ def video_mha(q, k, v, num_heads: int, num_frames: int,
         dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
         # tuned on v5e (bench_attn_tune.py): (4096, 4096) dual-row blocks at
         # the 64x64 level beat (1024, 1024) by ~18% — the kernel raises the
-        # Mosaic VMEM limit to admit the fp32 logit blocks
+        # Mosaic VMEM limit to admit the fp32 logit blocks. Blocks must
+        # DIVIDE l (the kernel grid is l // block): pick the largest
+        # power-of-two divisor <= 4096 (l % 128 == 0 is guaranteed by the
+        # use_kernel gate above, so one always exists — e.g. 768px gives
+        # L=9216 -> 1024-wide blocks).
+        blk = largest_divisor_block(l)
         out = video_flash_attention(
             split(q).astype(dt), split(k).astype(dt), split(v).astype(dt),
             tuple(frame_indices),
             sm_scale=float(dh**-0.5 if scale is None else scale),
-            block_q=min(4096, l), block_k=min(4096, l),
+            block_q=blk, block_k=blk,
         ).astype(q.dtype)
         return out.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
     if frame_indices:

@@ -183,6 +183,12 @@ def video_flash_attention(
         v = v + jnp.zeros((dh_pad,), v.dtype).at[sum_lane].set(1.0)
     bq = min(block_q, l)
     bk = min(block_k, l)
+    if l % bq or l % bk:
+        # the grid is (l // bq, l // bk) — a non-dividing block would silently
+        # leave tail q rows unwritten and tail KV unattended
+        raise ValueError(
+            f"block_q={bq} / block_k={bk} must divide sequence length l={l}"
+        )
     nq = l // bq
     nk = l // bk
     if unroll is None:
@@ -235,6 +241,9 @@ def video_flash_attention(
     )
     if dual is None:
         dual = bq >= 256 and bq % 2 == 0
+    elif dual and bq % 2:
+        # bqh = bq // 2 would cover only 2*bqh rows, silently dropping the last
+        raise ValueError(f"dual=True requires an even block_q, got {bq}")
     kern = functools.partial(
         _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, nk=nk,
         fh=f * h, h=h, sum_lane=sum_lane, unroll=unroll, dual=dual,
