@@ -64,3 +64,29 @@ def test_frame_and_mask_io_roundtrip(tmp_path):
     mask = load_mask(str(tmp_path / "m"), 2)
     assert set(np.unique(mask)) == {0.0, 1.0}
     assert mask.sum() == 2 * 16
+
+
+def test_style_frames_identical_guard(tmp_path):
+    """The singleton fast path's precondition check (VERDICT r2 weak #4):
+    identical-frame trajectories pass, a content-like trajectory (distinct
+    frames) fails, and single-frame trajectories trivially pass."""
+    from univst_tpu.core.trajectory import save_trajectory, style_frames_identical
+
+    rng = np.random.default_rng(0)
+    steps, f = 4, 3
+    one = rng.standard_normal((steps + 1, 1, 8, 8, 4)).astype(np.float32)
+
+    style_dir = tmp_path / "style"
+    save_trajectory(np.tile(one, (1, f, 1, 1, 1)), str(style_dir))
+    assert style_frames_identical(str(style_dir), steps)
+
+    content_dir = tmp_path / "content"
+    save_trajectory(
+        rng.standard_normal((steps + 1, f, 8, 8, 4)).astype(np.float32),
+        str(content_dir),
+    )
+    assert not style_frames_identical(str(content_dir), steps)
+
+    single_dir = tmp_path / "single"
+    save_trajectory(one, str(single_dir))
+    assert style_frames_identical(str(single_dir), steps)

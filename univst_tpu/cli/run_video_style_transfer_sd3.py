@@ -25,7 +25,7 @@ def main(args):
 
     from univst_tpu.core.adain import latent_adain_sd3
     from univst_tpu.core.config import StyleTransferConfig
-    from univst_tpu.core.trajectory import load_trajectory
+    from univst_tpu.core.trajectory import load_trajectory, style_frames_identical
     if args.seed is not None:
         seed_everything(args.seed)
 
@@ -34,9 +34,21 @@ def main(args):
     content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
     style_rev = load_trajectory(args.style_inv_path, args.time_steps, reverse=True)
     if pipe.style_singleton:
-        # style-trajectory frames are identical (repeated style image) —
-        # ship one frame per step; the singleton fast path runs 2-branch
-        style_rev = style_rev[:, :1]
+        if style_frames_identical(args.style_inv_path, args.time_steps):
+            # style-trajectory frames are identical (repeated style image) —
+            # ship one frame per step; the singleton fast path runs 2-branch
+            style_rev = style_rev[:, :1]
+        else:
+            # wrong-input guard: non-identical style frames (e.g. a content
+            # inversion) fall back to the exact legacy 3-branch batch
+            import dataclasses as _dc
+            import warnings
+
+            warnings.warn(
+                f"style trajectory at {args.style_inv_path} has non-identical "
+                "frames; disabling the style-singleton fast path"
+            )
+            pipe = _dc.replace(pipe, style_singleton=False)
     # clean content image latents (= ddim_latents_0 = last of reversed order)
     img_latents = content_rev[-1]
 
