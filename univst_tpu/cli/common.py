@@ -97,7 +97,7 @@ def build_pipeline_from_args(args, capture_up_block=None):
     if args.backbone == "animatediff":
         from univst_tpu.pipelines.animatediff import build_animatediff
 
-        return build_animatediff(
+        pipe = build_animatediff(
             motion_module_path=getattr(args, "motion_module_path", None),
             dreambooth_path=getattr(args, "dreambooth_path", None),
             lora_path=getattr(args, "lora_path", None),
@@ -105,6 +105,29 @@ def build_pipeline_from_args(args, capture_up_block=None):
             variant="tiny" if args.variant == "tiny" else "ad",
             **kw,
         )
-    from univst_tpu.pipelines.sd import SDVideoPipeline
+    else:
+        from univst_tpu.pipelines.sd import SDVideoPipeline
 
-    return SDVideoPipeline.build(variant=args.variant, **kw)
+        pipe = SDVideoPipeline.build(variant=args.variant, **kw)
+    return apply_mesh_arg(pipe, args)
+
+
+def apply_mesh_arg(pipe, args):
+    """Attach the --mesh flag's device mesh (``data=N[,tensor=M]``) to a
+    pipeline; no-op when the flag is absent/empty."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return pipe
+    from univst_tpu.distributed.mesh import parse_mesh_spec
+
+    return pipe.with_mesh(parse_mesh_spec(spec))
+
+
+def add_mesh_flag(parser):
+    parser.add_argument(
+        "--mesh", type=str, default=None,
+        help="multi-chip device mesh, e.g. 'data=8' (frame-parallel) or "
+             "'data=4,tensor=2' (SD3 tensor parallelism); requires that many "
+             "JAX devices",
+    )
+    return parser

@@ -20,7 +20,7 @@ import numpy as np
 
 from univst_tpu.utils.io import fetch_array
 
-from univst_tpu.cli.common import build_pipeline_from_args, make_output_tree, save_feature_pt, setup_jax
+from univst_tpu.cli.common import add_mesh_flag, build_pipeline_from_args, make_output_tree, save_feature_pt, setup_jax
 from univst_tpu.utils.io import load_video, save_video, seed_everything
 
 
@@ -79,6 +79,7 @@ def build_parser():
                    help="inversion prompt (reference always uses ''; non-empty "
                         "prompts need tokenizer files under --pretrained_model_path)")
     p.add_argument("--platform", type=str, default=None)
+    add_mesh_flag(p)
     return p
 
 

@@ -15,14 +15,14 @@ import numpy as np
 
 from univst_tpu.utils.io import fetch_array
 
-from univst_tpu.cli.common import make_output_tree, parse_dtype, save_feature_pt, setup_jax
+from univst_tpu.cli.common import add_mesh_flag, apply_mesh_arg, make_output_tree, parse_dtype, save_feature_pt, setup_jax
 from univst_tpu.utils.io import load_video, save_video, seed_everything
 
 
 def build_sd3_pipeline(args, capture_block=None):
     from univst_tpu.pipelines.sd3 import SD3VideoPipeline
 
-    return SD3VideoPipeline.build(
+    pipe = SD3VideoPipeline.build(
         pretrained_model_path=args.pretrained_model_path,
         variant=args.variant,
         num_frames=args.num_frames,
@@ -32,6 +32,7 @@ def build_sd3_pipeline(args, capture_block=None):
         capture_block=capture_block,
         seed=args.seed or 0,
     )
+    return apply_mesh_arg(pipe, args)
 
 
 def main(args):
@@ -89,6 +90,7 @@ def build_parser():
     p.add_argument("--variant", type=str, default="sd3", choices=["sd3", "sd35", "sd35m", "tiny"])
     p.add_argument("--backbone", type=str, default="sd3")
     p.add_argument("--platform", type=str, default=None)
+    add_mesh_flag(p)
     return p
 
 

@@ -15,7 +15,7 @@ import numpy as np
 
 from univst_tpu.utils.io import fetch_array
 
-from univst_tpu.cli.common import make_output_tree, setup_jax
+from univst_tpu.cli.common import add_mesh_flag, make_output_tree, setup_jax
 from univst_tpu.cli.run_content_inversion_sd3 import build_sd3_pipeline
 from univst_tpu.utils.io import load_style_image, save_video, seed_everything
 
@@ -78,6 +78,7 @@ def build_parser():
     p.add_argument("--variant", type=str, default="sd3", choices=["sd3", "sd35", "sd35m", "tiny"])
     p.add_argument("--backbone", type=str, default="sd3")
     p.add_argument("--platform", type=str, default=None)
+    add_mesh_flag(p)
     return p
 
 

@@ -14,7 +14,7 @@ import numpy as np
 
 from univst_tpu.utils.io import fetch_array
 
-from univst_tpu.cli.common import build_pipeline_from_args, setup_jax
+from univst_tpu.cli.common import add_mesh_flag, build_pipeline_from_args, setup_jax
 from univst_tpu.utils.io import load_mask, save_frames, seed_everything
 
 
@@ -133,6 +133,7 @@ def build_parser():
     p.add_argument("--prompt", type=str, default="",
                    help="shared 3-branch prompt (reference uses '')")
     p.add_argument("--platform", type=str, default=None)
+    add_mesh_flag(p)
     return p
 
 

@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from univst_tpu.cli.common import setup_jax
+from univst_tpu.cli.common import add_mesh_flag, setup_jax
 from univst_tpu.cli.run_content_inversion_sd3 import build_sd3_pipeline
 from univst_tpu.utils.io import load_mask, save_frames, seed_everything
 
@@ -101,6 +101,7 @@ def build_parser():
     p.add_argument("--variant", type=str, default="sd3", choices=["sd3", "sd35", "sd35m", "tiny"])
     p.add_argument("--backbone", type=str, default="sd3")
     p.add_argument("--platform", type=str, default=None)
+    add_mesh_flag(p)
     return p
 
 

@@ -56,3 +56,40 @@ def replicate(tree, mesh: Mesh):
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def frame_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    """NamedSharding with the frame axis (at ``axis``) on 'data'."""
+    spec = [None] * ndim
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_frames(x, mesh: Mesh, axis: int = 0):
+    """Place ``x`` with its frame axis sharded on 'data'; falls back to
+    replication when the axis does not divide (e.g. the [N+1, 1, ...]
+    singleton style trajectory, or F < n_devices tiny configs)."""
+    n_data = mesh.shape["data"]
+    if x.shape[axis] % n_data == 0:
+        return jax.device_put(x, frame_sharding(mesh, x.ndim, axis))
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def parse_mesh_spec(spec: Optional[str]) -> Optional[Mesh]:
+    """Parse the CLI ``--mesh`` flag: ``'data=4[,tensor=2]'`` or a bare device
+    count ``'8'`` -> a ('data','tensor') mesh; None/'' -> None."""
+    if not spec:
+        return None
+    n_data: Optional[int] = None
+    n_tensor = 1
+    for part in spec.split(","):
+        k, _, v = part.strip().partition("=")
+        if not v:
+            n_data = int(k)
+        elif k == "data":
+            n_data = int(v)
+        elif k == "tensor":
+            n_tensor = int(v)
+        else:
+            raise ValueError(f"unknown mesh axis {k!r} (use data=N[,tensor=M])")
+    return make_mesh(n_data=n_data, n_tensor=n_tensor)

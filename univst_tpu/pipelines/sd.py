@@ -76,6 +76,13 @@ class SDVideoPipeline:
     # Lucas-Kanade pyramid; set to make_raft_flow(params) for RAFT (the
     # reference smoother's flow, src/cal_optica_flow.py:53-54)
     flow_fn: Optional[object] = None
+    # device mesh for multi-chip serving (set via with_mesh): the frame axis
+    # shards over the 'data' axis, params replicate, and XLA's SPMD
+    # partitioner inserts the collectives (frame-0 broadcast + halo permutes
+    # for sparse-causal KV; psums for the cross-frame AdaIN/GroupNorm stats —
+    # asserted by tests/test_comm_pattern.py). The reference has no
+    # parallelism at all (SURVEY.md §2 preamble).
+    mesh: Optional[object] = None
 
     # -- construction --------------------------------------------------------
 
@@ -178,6 +185,45 @@ class SDVideoPipeline:
             dtype=dtype,
         )
 
+    # -- multi-chip -----------------------------------------------------------
+
+    def with_mesh(self, mesh) -> "SDVideoPipeline":
+        """Return a pipeline running frame-parallel over ``mesh``.
+
+        Params replicate across the mesh; every workflow entry point then
+        shards its frame-axis inputs over 'data' and jit-compiles SPMD
+        programs whose collectives XLA derives from the shardings (the
+        scaling-book recipe). Serves both SD and AnimateDiff (the motion
+        modules' temporal attention over the sharded frame axis becomes
+        in-graph collectives)."""
+        if mesh is None:
+            return self
+        from univst_tpu.distributed.mesh import replicate
+
+        return dataclasses.replace(
+            self,
+            mesh=mesh,
+            unet_params=replicate(self.unet_params, mesh),
+            vae_params=replicate(self.vae_params, mesh),
+            text_params=replicate(self.text_params, mesh),
+        )
+
+    def _shard(self, x, axis: int = 0):
+        """Frame-axis input sharding (no-op without a mesh; replicates
+        non-divisible axes, e.g. the singleton style trajectory)."""
+        if self.mesh is None or x is None:
+            return x
+        from univst_tpu.distributed.mesh import shard_frames
+
+        return shard_frames(jnp.asarray(x), self.mesh, axis)
+
+    def _replicated(self, x):
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, P()))
+
     # -- stages ---------------------------------------------------------------
     # Parameters always flow through jit as ARGUMENTS (never closed over):
     # closure capture bakes the 1.7GB of weights into the HLO as constants.
@@ -188,18 +234,18 @@ class SDVideoPipeline:
 
     def encode_frames(self, frames, key):
         """[F, H, W, 3] in [-1,1] -> sampled latents [F, h, w, 4] * scaling."""
-        return _encode_frames(self, self.vae_params, jnp.asarray(frames), key)
+        return _encode_frames(self, self.vae_params, self._shard(frames), key)
 
     def decode_latents(self, latents):
         """latents [F, h, w, 4] -> frames [F, H, W, 3] in [0, 1] (reference
         decode_latents, stable_diffusion.py:369-394)."""
-        return _decode_latents(self, self.vae_params, latents)
+        return _decode_latents(self, self.vae_params, self._shard(latents))
 
     def decode_latents_uint8(self, latents):
         """Same decode, quantized to uint8 ON DEVICE: the consumer is PNG/mp4
         writing (uint8 anyway), and shipping fp32 pixels through the remote-TPU
         tunnel costs ~4x the bytes (~1 s for 16 frames @512)."""
-        return _decode_latents_u8(self, self.vae_params, latents)
+        return _decode_latents_u8(self, self.vae_params, self._shard(latents))
 
     def decode_latents_uint8_chunks(self, latents, chunk: int):
         """Chunked temporal-VAE decode (the reference's ``decode_chunk_size``
@@ -279,7 +325,8 @@ class SDVideoPipeline:
         # with the jit call (an eager device slice is a remote dispatch)
         ts = self.schedule.timesteps(num_steps)[::-1].copy()
         steps = np.arange(num_steps)
-        latents = latents.astype(jnp.float32)
+        latents = self._shard(latents).astype(jnp.float32)
+        context = self._replicated(context)
         captured = None
         if capture_timestep is not None and self.unet.cfg.capture_up_block is not None:
             denoise = self._denoise_fn(
@@ -314,7 +361,8 @@ class SDVideoPipeline:
         chunk = self._exec_chunk(num_steps)
         ts = self.schedule.timesteps(num_steps).copy()
         steps = np.arange(num_steps)
-        latent = latents_T.astype(jnp.float32)
+        latent = self._shard(latents_T).astype(jnp.float32)
+        context = self._replicated(context)
         if guidance_scale > 1.0:
             uc = uncond_context if uncond_context is not None else self.encode_text("")
             context2 = jnp.concatenate([uc, context], axis=0)
@@ -353,6 +401,15 @@ class SDVideoPipeline:
         # host-side schedule; ships as a jit ARGUMENT (no eager transfer op)
         ts_np = self.schedule.timesteps(n).copy()
         smooth_lo, smooth_hi = cfg.smoother_steps
+
+        # frame-parallel inputs: trajectories shard on their frame axis (1),
+        # working latents/mask on axis 0, the text context replicates; XLA
+        # propagates the shardings through every segment graph below
+        content_traj_rev = self._shard(content_traj_rev, axis=1)
+        style_traj_rev = self._shard(style_traj_rev, axis=1)
+        init_latents = self._shard(init_latents)
+        mask = self._shard(mask)
+        context3 = self._replicated(context3)
 
         # Past the shift window the content/style branches are dead compute
         # (StyleShiftConfig.window_end) — those steps run the stylized-only

@@ -75,6 +75,9 @@ class SD3VideoPipeline:
     # 1024px the per-step K/V of all 24 blocks is ~600 MB, x50 steps won't
     # fit HBM).
     style_singleton: bool = True
+    # device mesh (set via with_mesh): frames shard over 'data'; MMDiT params
+    # optionally shard Megatron-style over 'tensor' (distributed/tp.py).
+    mesh: Optional[object] = None
 
     @classmethod
     def build(
@@ -208,6 +211,46 @@ class SD3VideoPipeline:
             max_sequence_length=max_seq,
         )
 
+    # -- multi-chip -----------------------------------------------------------
+
+    def with_mesh(self, mesh) -> "SD3VideoPipeline":
+        """Return a pipeline running dp(xtp) over ``mesh``: the frame axis
+        shards over 'data'; when the mesh has a tensor axis > 1 the MMDiT
+        attention/MLP kernels shard column/row-parallel (distributed/tp.py —
+        SD3.5-large at 8B params wants this; XLA inserts the row-parallel
+        psums). VAE/text params replicate."""
+        if mesh is None:
+            return self
+        from univst_tpu.distributed.mesh import replicate
+        from univst_tpu.distributed.tp import shard_mmdit_params
+
+        return dataclasses.replace(
+            self,
+            mesh=mesh,
+            mmdit_params=shard_mmdit_params(self.mmdit_params, mesh),
+            vae_params=replicate(self.vae_params, mesh),
+            clip_l_params=None if self.clip_l_params is None
+            else replicate(self.clip_l_params, mesh),
+            clip_g_params=None if self.clip_g_params is None
+            else replicate(self.clip_g_params, mesh),
+            t5_params=None if self.t5_params is None
+            else replicate(self.t5_params, mesh),
+        )
+
+    def _shard(self, x, axis: int = 0):
+        if self.mesh is None or x is None:
+            return x
+        from univst_tpu.distributed.mesh import shard_frames
+
+        return shard_frames(jnp.asarray(x), self.mesh, axis)
+
+    def _replicated(self, x):
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, P()))
+
     # -- text -----------------------------------------------------------------
 
     def free_text_encoders(self):
@@ -235,10 +278,10 @@ class SD3VideoPipeline:
     # -- vae -------------------------------------------------------------------
 
     def encode_frames(self, frames, key):
-        return _encode_frames3(self, self.vae_params, jnp.asarray(frames), key)
+        return _encode_frames3(self, self.vae_params, self._shard(jnp.asarray(frames)), key)
 
     def decode_latents(self, latents):
-        return _decode_latents3(self, self.vae_params, latents)
+        return _decode_latents3(self, self.vae_params, self._shard(latents))
 
     # -- denoiser ---------------------------------------------------------------
 
@@ -288,7 +331,9 @@ class SD3VideoPipeline:
         n = len(t_curr_full)
         chunk = self._exec_chunk(n)
         steps = jnp.arange(n)
-        latents = img_latents.astype(jnp.float32)
+        latents = self._shard(img_latents).astype(jnp.float32)
+        context = self._replicated(context)
+        pooled = self._replicated(pooled)
         captured = None
         if capture_step is not None and self.mmdit.cfg.capture_block is not None:
             denoise = self._denoise_fn(
@@ -326,7 +371,10 @@ class SD3VideoPipeline:
         n = num_steps
         chunk = self._exec_chunk(n)
         steps = jnp.arange(n)
-        latent = inversed_latents.astype(jnp.float32)
+        latent = self._shard(inversed_latents).astype(jnp.float32)
+        img_latents = self._shard(img_latents)
+        context = self._replicated(context)
+        pooled = self._replicated(pooled)
         for s0 in range(0, n, chunk):
             latent = _reconstruct3_segment(
                 self, self.mmdit_params, latent, steps[s0 : s0 + chunk],
@@ -358,7 +406,14 @@ class SD3VideoPipeline:
             generate_eta_values(ts, e_start, e_end, cfg.eta_base, cfg.eta_trend)
         )
         steps = jnp.arange(n)
-        latents = init_latents.astype(jnp.float32)
+        # frame-parallel inputs (no-ops without a mesh)
+        content_traj_rev = self._shard(content_traj_rev, axis=1)
+        style_traj_rev = self._shard(style_traj_rev, axis=1)
+        img_latents = self._shard(img_latents)
+        mask = self._shard(mask)
+        context3 = self._replicated(context3)
+        pooled3 = self._replicated(pooled3)
+        latents = self._shard(init_latents).astype(jnp.float32)
         seg_fn = _stylize2_segment if self.style_singleton else _stylize3_segment
         if self.style_singleton:
             style_traj_rev = style_traj_rev[:, :1]
