@@ -111,3 +111,135 @@ def test_frame_sharded_cross_frame_kv_has_no_allgather():
     np.testing.assert_allclose(
         out_sharded / scale, out_single / scale, atol=0.03
     )
+
+
+def test_frame_sharded_ad_motion_modules_comm():
+    """VERDICT r3 #3 (AD): the motion modules run temporal self-attention
+    over the sharded frame axis — the worst comm case in the repo. Each
+    temporal attention inherently mixes all frames, so the expected lowering
+    is one activation-sized reshard (all-gather of K/V over frames, or an
+    all-to-all into a spatially-sharded layout) per attention — comm LINEAR
+    in activation bytes. This test compiles the frame-sharded 3-branch AD
+    UNet forward and asserts (a) per-collective payloads stay <= a couple of
+    activations of that resolution, (b) the per-step total stays within the
+    linear budget (no quadratic logits gathers, no skip-stack gathers)."""
+    from univst_tpu.models.unet_ad import UNetAnimateDiff, UNetADConfig
+    from univst_tpu.core.config import AD_STYLE_SHIFT
+
+    n = 8
+    f = 16
+    cfg = UNetADConfig.tiny()
+    unet = UNetAnimateDiff(cfg, dtype=jnp.bfloat16)
+    h8 = 8
+    key = jax.random.PRNGKey(0)
+    x3 = jax.random.normal(key, (3 * f, h8, h8, 4), jnp.float32)
+    ctx = jax.random.normal(key, (3, 7, cfg.cross_attention_dim), jnp.bfloat16)
+    vctx = VideoCtx(num_frames=f, frame_indices=())
+    params = jax.jit(unet.init, static_argnums=(4,))(
+        key, x3.astype(jnp.bfloat16), jnp.asarray(0), ctx, vctx
+    )["params"]
+
+    mesh = make_mesh(n_data=n, n_tensor=1)
+    params_r = replicate(params, mesh)
+    xs = jax.device_put(x3, NamedSharding(mesh, P("data", None, None, None)))
+    ctxs = jax.device_put(ctx, NamedSharding(mesh, P()))
+
+    def fn(p, x, c):
+        sctx = StyleCtx(step_idx=jnp.asarray(10), cfg=AD_STYLE_SHIFT)
+        eps, _ = unet.apply(
+            {"params": p}, x.astype(jnp.bfloat16), jnp.asarray(501), c, vctx, sctx
+        )
+        return eps
+
+    compiled = jax.jit(
+        fn, out_shardings=NamedSharding(mesh, P("data", None, None, None))
+    ).lower(params_r, xs, ctxs).compile()
+    colls = _collect_collectives(compiled.as_text())
+    assert colls, "expected collectives under a frame-sharded mesh"
+
+    # Per-resolution activation sizes (3F x l x c, bf16) of the motion
+    # modules: mirror of UNetAnimateDiff's block structure.
+    res = h8
+    acts = []  # activation bytes at each motion-module site
+    for bi, ch in enumerate(cfg.block_out_channels):
+        for _ in range(cfg.layers_per_block):
+            acts.append(3 * f * res * res * ch * 2)
+        if bi < len(cfg.block_out_channels) - 1:
+            res //= 2
+    acts.append(3 * f * res * res * cfg.block_out_channels[-1] * 2)  # mid
+    for bi, ch in enumerate(reversed(cfg.block_out_channels)):
+        for _ in range(cfg.layers_per_block + 1):
+            acts.append(3 * f * res * res * ch * 2)
+        if bi < len(cfg.block_out_channels) - 1:
+            res *= 2
+
+    # (a) each collective moves at most ~2 activations of the largest site
+    #     (K+V gather fused); anything bigger means a gather of stacked state
+    per_coll_bound = 2 * max(acts) * 2  # 2x headroom for fp32 upcasts/fusion
+    big = [(op, sz) for op, sz, _ in colls if sz > per_coll_bound]
+    assert not big, f"collective payload exceeds activation scale: {big[:5]}"
+
+    # (b) linear total: 2 temporal attentions x (K,V) per module = 4 acts,
+    #     x2 headroom (fp32 upcast, q-side or output reshards)
+    total = sum(sz for _, sz, _ in colls)
+    budget = 8 * sum(acts)
+    assert total <= budget, (
+        f"per-step collective bytes {total/1e6:.1f} MB exceed the linear "
+        f"temporal-attention budget {budget/1e6:.1f} MB"
+    )
+
+
+def test_sd3_dp_tp_comm_pattern():
+    """VERDICT r3 #3 (SD3): dp x tp MMDiT — tensor-parallel comm must be
+    activation-sized all-reduces (after row-parallel to_out/fc2/to_add_out),
+    never parameter gathers; frame-axis comm must stay at sparse-causal
+    scale (no full-KV all-gathers over 'data')."""
+    from univst_tpu.core.config import SD3_FRAME_INDICES, SD3_STYLE_SHIFT
+    from univst_tpu.distributed.tp import shard_mmdit_params
+    from univst_tpu.models.mmdit import MMDiT, MMDiTConfig
+
+    cfg = MMDiTConfig.tiny(num_heads=4, head_dim=16)
+    model = MMDiT(cfg, dtype=jnp.bfloat16)
+    f = 4
+    vctx = VideoCtx(num_frames=f, frame_indices=SD3_FRAME_INDICES)
+    key = jax.random.PRNGKey(0)
+    x3 = jax.random.normal(key, (3 * f, 8, 8, 16), jnp.float32)
+    ctx = jax.random.normal(key, (3, 10, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(key, (3, cfg.pooled_projection_dim), jnp.bfloat16)
+    params = jax.jit(model.init, static_argnums=(5,))(
+        key, x3.astype(jnp.bfloat16), jnp.asarray(500.0), ctx, pooled, vctx
+    )["params"]
+
+    mesh = make_mesh(n_data=2, n_tensor=4)
+    p_sh = shard_mmdit_params(params, mesh)
+    xs = jax.device_put(x3, NamedSharding(mesh, P("data", None, None, None)))
+    ctxs = jax.device_put(ctx, NamedSharding(mesh, P()))
+    pooleds = jax.device_put(pooled, NamedSharding(mesh, P()))
+
+    def fn(p, x, c, pl):
+        sctx = StyleCtx(step_idx=jnp.asarray(10), cfg=SD3_STYLE_SHIFT)
+        out, _ = model.apply(
+            {"params": p}, x.astype(jnp.bfloat16), jnp.asarray(500.0), c, pl,
+            vctx, sctx,
+        )
+        return out
+
+    compiled = jax.jit(
+        fn, out_shardings=NamedSharding(mesh, P("data", None, None, None))
+    ).lower(p_sh, xs, ctxs, pooleds).compile()
+    colls = _collect_collectives(compiled.as_text())
+    assert colls, "expected collectives under a dp x tp mesh"
+
+    # TP all-reduces present and activation-sized: per-device payload bound =
+    # local joint tokens x hidden (bf16) with headroom for fused pairs/fp32
+    tokens = (3 * f * 16 + 3 * 10)  # image tokens (8x8 / p=2) + context
+    act_bytes = tokens // mesh.shape["data"] * cfg.hidden * 2
+    ars = [c for c in colls if c[0] == "all-reduce"]
+    assert ars, "row-parallel MMDiT must produce all-reduces"
+    big_ar = [(op, sz) for op, sz, _ in ars if sz > 6 * act_bytes]
+    assert not big_ar, f"all-reduce beyond activation scale: {big_ar[:5]}"
+
+    # no parameter-sized gathers: largest kernel is fc1 (d x 4d)
+    kernel_bytes = cfg.hidden * 4 * cfg.hidden * 2
+    gathers = [c for c in colls if c[0] == "all-gather" and c[1] >= kernel_bytes]
+    assert not gathers, f"parameter gather under TP: {gathers[:3]}"
