@@ -1,0 +1,92 @@
+"""Compare two stylization output directories (VERDICT r3 #5b).
+
+The turnkey harness for the day real checkpoints are available: point it at
+this framework's output frames and the reference's
+(`%05d.png` directories, reference layout utils/util.py save conventions)
+and it prints per-frame + aggregate PSNR/SSIM, and latent MSE when given
+trajectory files.
+
+Usage:
+  python scripts/compare_outputs.py DIR_A DIR_B [--json]
+  python scripts/compare_outputs.py --latents A.pt B.pt [--json]
+
+Exit code 1 when --psnr-min / --ssim-min gates are given and violated, so it
+doubles as a CI/regression gate.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from univst_tpu.utils.metrics import compare_frame_stacks, latent_mse
+
+
+def load_dir(path: str) -> np.ndarray:
+    from PIL import Image
+
+    names = sorted(
+        f for f in os.listdir(path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if not names:
+        raise SystemExit(f"no image frames in {path}")
+    frames = [np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
+              for n in names]
+    return np.stack(frames)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dirs", nargs="*", help="two frame directories")
+    ap.add_argument("--latents", nargs=2, metavar=("A.pt", "B.pt"),
+                    help="compare two trajectory/latent .pt files instead")
+    ap.add_argument("--json", action="store_true", help="print one JSON line")
+    ap.add_argument("--psnr-min", type=float, default=None)
+    ap.add_argument("--ssim-min", type=float, default=None)
+    args = ap.parse_args()
+
+    result = {}
+    if args.latents:
+        import torch
+
+        a = torch.load(args.latents[0], map_location="cpu", weights_only=True)
+        b = torch.load(args.latents[1], map_location="cpu", weights_only=True)
+        result["latent_mse"] = latent_mse(
+            np.asarray(a, np.float64), np.asarray(b, np.float64)
+        )
+    else:
+        if len(args.dirs) != 2:
+            ap.error("pass two frame directories (or --latents)")
+        a, b = load_dir(args.dirs[0]), load_dir(args.dirs[1])
+        if a.shape[0] != b.shape[0]:
+            raise SystemExit(
+                f"frame count mismatch: {a.shape[0]} vs {b.shape[0]}"
+            )
+        result = compare_frame_stacks(a, b)
+
+    if args.json:
+        print(json.dumps(result))
+    else:
+        for k, v in result.items():
+            if isinstance(v, list):
+                print(f"{k}: " + " ".join(f"{x:.3f}" for x in v))
+            else:
+                print(f"{k}: {v:.4f}")
+
+    fail = []
+    if args.psnr_min is not None and result.get("psnr_min", np.inf) < args.psnr_min:
+        fail.append(f"psnr_min {result['psnr_min']:.2f} < {args.psnr_min}")
+    if args.ssim_min is not None and result.get("ssim_min", np.inf) < args.ssim_min:
+        fail.append(f"ssim_min {result['ssim_min']:.4f} < {args.ssim_min}")
+    if fail:
+        print("GATE FAILED: " + "; ".join(fail), file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

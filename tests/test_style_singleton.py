@@ -249,3 +249,48 @@ def test_cli_singleton_guard_falls_back(tmp_path):
         st.main(st.build_parser().parse_args(argv))
     frames = sorted(os.listdir(tmp_path / "st" / "sd" / "vid_vid"))
     assert len(frames) == f
+
+
+@pytest.mark.slow
+def test_ad_capture_inject_matches_3branch():
+    """The AnimateDiff default path (per-step style K/V capture + 2-branch
+    injection, _stylize_chunk_capture) == the reference's in-batch 3-branch
+    form. Unlike the singleton this holds WITHOUT identical style frames —
+    the branches couple only through the attention shift."""
+    from univst_tpu.pipelines import sd as sdp
+    from univst_tpu.pipelines.animatediff import build_animatediff
+    from univst_tpu.pipelines.segments import phase_segments
+
+    f, size, steps = 4, 64, 4
+    pipe = build_animatediff(
+        variant="tiny", num_frames=f, height=size, width=size, dtype=jnp.float32
+    )
+    rng = np.random.default_rng(7)
+    h8 = size // 8
+    content = jnp.asarray(rng.standard_normal((steps + 1, f, h8, h8, 4)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((steps + 1, f, h8, h8, 4)), jnp.float32)
+    init = jnp.asarray(rng.standard_normal((f, h8, h8, 4)), jnp.float32)
+    mask = jnp.asarray((rng.random((f, size, size)) > 0.5).astype(np.float32))
+    ctx3 = jnp.concatenate([pipe.encode_text("")] * 3, axis=0)
+    cfg = StyleTransferConfig(num_steps=steps)
+
+    out_new = np.asarray(
+        pipe.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    )
+
+    scfg = pipe.style_shift_cfg
+    ts_np = pipe.schedule.timesteps(steps).copy()
+    phase1, phase2 = phase_segments(steps, scfg.window_end(), pipe.exec_chunk_default)
+    lat = init.astype(jnp.float32)
+    steps_np = np.arange(steps)
+    for s0, c in phase1:
+        lat = sdp._stylize_chunk(
+            pipe, pipe.unet_params, content[s0 : s0 + c], style[s0 : s0 + c],
+            lat, steps_np[s0 : s0 + c], ts_np[s0 : s0 + c], ctx3, mask, cfg, scfg,
+        )
+    for s0, c in phase2:
+        lat = sdp._stylize_chunk_solo(
+            pipe, pipe.unet_params, content, style, lat, ts_np, s0, ctx3,
+            mask, cfg, c, steps,
+        )
+    np.testing.assert_allclose(out_new, np.asarray(lat), rtol=1e-5, atol=1e-5)

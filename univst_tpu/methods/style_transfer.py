@@ -45,6 +45,7 @@ def style_transfer_ddim_steps(
     mask=None,
     style_kv=None,
     solo: bool = False,
+    capture: bool = False,
 ):
     """Run a contiguous segment of the stylization loop (steps/ts arrays of
     length K, trajectory chunks [K, F, h, w, C]).
@@ -66,6 +67,17 @@ def style_transfer_ddim_steps(
         segments past the shift window (StyleShiftConfig.window_end), where
         the content/style forwards are dead compute; the trajectory chunks are
         still consumed by the latent blending/anchoring below.
+      * ``capture=True``: 2-branch capture-and-inject —
+        ``denoise3([2F], t, i, style_latents_t)`` runs the style-branch
+        forward itself (capturing its PnP K/V) and injects it into the
+        [content | stylized] batch. The exact decomposition of the legacy
+        3-branch batch (branches only couple through the attention shift) for
+        backbones whose style frames are NOT identical (AnimateDiff — motion-
+        module positional encodings); also keeps shard boundaries branch-
+        aligned under a frame-parallel mesh: a [3F] batch row axis cannot be
+        evenly sharded into branch-aligned pieces on 2^k devices, so GSPMD
+        all-gathers at every branch-chunking reshape (measured: 11 GB/step at
+        512px/16f on 8 shards), while [F] and [2F] batches shard cleanly.
     """
     n = cfg.num_steps
     f, h, w, c = latents.shape
@@ -92,6 +104,9 @@ def style_transfer_ddim_steps(
 
         if solo:
             eps = denoise3(latents, t, i)
+        elif capture:
+            x2 = jnp.concatenate([cnt_t, latents], axis=0)
+            eps = denoise3(x2, t, i, sty_t)[f:]
         elif style_kv is None:
             x3 = jnp.concatenate([cnt_t, sty_t, latents], axis=0)
             eps = denoise3(x3, t, i)[2 * f :]

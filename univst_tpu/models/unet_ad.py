@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from univst_tpu.attention.ops import apply_style_shift, mha
+from univst_tpu.attention.ops import (
+    apply_style_shift,
+    apply_style_shift_injected,
+    mha,
+)
 from univst_tpu.models.layers import (
     CrossAttention,
     FeedForwardGEGLU,
@@ -41,7 +45,7 @@ from univst_tpu.models.layers import (
     timestep_embedding,
     upsample_nearest_2x,
 )
-from univst_tpu.models.unet_sd import PNP_UP_ATTENTIONS
+from univst_tpu.models.unet_sd import PNP_SLOT_ORDER, PNP_UP_ATTENTIONS
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,10 +167,17 @@ class ADSelfAttention(nn.Module):
     """Per-frame spatial self-attention with the (frame-local) PnP shift.
 
     Unlike the SD backbone there is NO cross-frame KV expansion (see module
-    docstring); only the 3-branch AdaIN shift applies inside the window."""
+    docstring); only the 3-branch AdaIN shift applies inside the window.
+    Like the SD attention it supports capture (sow the projected K/V of a
+    style-branch-only pass) and injection (2-branch [content | stylized]
+    batch with the style K/V passed in StyleCtx.style_kv) — the exact
+    decomposition of the legacy 3-branch batch used by the capture-and-
+    inject stylization path (pipelines/sd.py), which keeps shard boundaries
+    branch-aligned under frame-parallel meshes."""
 
     num_heads: int
     apply_pnp: bool
+    pnp_slot: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,10 +186,20 @@ class ADSelfAttention(nn.Module):
         q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        if self.apply_pnp and style_ctx is not None and style_ctx.cfg is not None:
-            q, k, v = apply_style_shift(
-                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
-            )
+        if self.apply_pnp and style_ctx is not None:
+            if style_ctx.capture:
+                self.sow("pnp_kv", f"slot_{self.pnp_slot}", (k, v))
+            elif style_ctx.style_kv is not None:
+                sk, sv = style_ctx.style_kv[self.pnp_slot]
+                q, k, v = apply_style_shift_injected(
+                    q, k, v, sk, sv, style_ctx.step_idx, style_ctx.cfg,
+                    video_ctx.num_frames,
+                )
+            elif style_ctx.cfg is not None:
+                q, k, v = apply_style_shift(
+                    q, k, v, style_ctx.step_idx, style_ctx.cfg,
+                    video_ctx.num_frames,
+                )
         out = mha(q, k, v, self.num_heads)
         return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
 
@@ -186,13 +207,15 @@ class ADSelfAttention(nn.Module):
 class ADTransformerBlock(nn.Module):
     num_heads: int
     apply_pnp: bool
+    pnp_slot: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, video_ctx, style_ctx):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + ADSelfAttention(
-            self.num_heads, self.apply_pnp, dtype=self.dtype, name="attn1"
+            self.num_heads, self.apply_pnp, pnp_slot=self.pnp_slot,
+            dtype=self.dtype, name="attn1"
         )(h, video_ctx, style_ctx)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn2")(h, context)
@@ -205,6 +228,7 @@ class ADTransformer(nn.Module):
     num_heads: int
     norm_num_groups: int
     apply_pnp: bool
+    pnp_slot: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -217,7 +241,8 @@ class ADTransformer(nn.Module):
         f = video_ctx.num_frames
         ctx = jnp.repeat(context, f, axis=0) if context.shape[0] != bf else context
         tokens = ADTransformerBlock(
-            self.num_heads, self.apply_pnp, dtype=self.dtype, name="block"
+            self.num_heads, self.apply_pnp, pnp_slot=self.pnp_slot,
+            dtype=self.dtype, name="block"
         )(tokens, ctx, video_ctx, style_ctx)
         h = tokens.reshape(bf, hh, ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
@@ -316,9 +341,12 @@ class UNetAnimateDiff(nn.Module):
                 x = ADResnetBlock(rev_ch[bi], cfg.norm_num_groups, dtype=self.dtype,
                                   name=f"up_{bi}_resnet_{li}")(x, temb, video_ctx)
                 if cfg.up_block_has_attn[bi]:
+                    is_pnp = (bi, li) in PNP_UP_ATTENTIONS
                     x = ADTransformer(
-                        rev_heads[bi], cfg.norm_num_groups,
-                        (bi, li) in PNP_UP_ATTENTIONS,
+                        rev_heads[bi], cfg.norm_num_groups, is_pnp,
+                        pnp_slot=(
+                            PNP_SLOT_ORDER.index((bi, li)) if is_pnp else None
+                        ),
                         dtype=self.dtype, name=f"up_{bi}_attn_{li}",
                     )(x, context, video_ctx, style_ctx)
                 x = MotionModule(cfg, dtype=self.dtype,

@@ -448,7 +448,13 @@ class SDVideoPipeline:
                 )
             return latents
 
-        # Legacy 3-branch batch (AnimateDiff; SD with the pixel smoother).
+        # Non-singleton backbones (AnimateDiff: motion-module PEs make style
+        # frames distinct). Default: capture-and-inject — per step, a style-
+        # only forward captures the PnP K/V, then the 2-branch
+        # [content | stylized] batch consumes it. Exact vs the reference's
+        # 3-branch batch, and branch-aligned under frame-parallel meshes
+        # (see _stylize_chunk_capture). The pixel smoother keeps the legacy
+        # in-batch 3-branch steps.
         import numpy as np
 
         latents = init_latents.astype(jnp.float32)
@@ -459,7 +465,14 @@ class SDVideoPipeline:
             )
         for s0, c in phase1:
             seg = range(s0, s0 + c)
-            if cfg.smoother == "pixel" and any(
+            if cfg.smoother is None:
+                latents = _stylize_chunk_capture(
+                    self, self.unet_params,
+                    content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
+                    latents, steps_np[s0 : s0 + c], ts_np[s0 : s0 + c],
+                    context3, mask, cfg, scfg,
+                )
+            elif cfg.smoother == "pixel" and any(
                 smooth_lo <= i < smooth_hi for i in seg
             ):
                 # run this segment step-by-step; smoother steps get the
@@ -645,6 +658,55 @@ def _stylize_chunk(pipe, unet_params, content_chunk, style_chunk, latents,
     return style_transfer_ddim_steps(
         denoise3, content_chunk, style_chunk, latents.astype(jnp.float32),
         steps, ts, pipe.schedule, cfg, mask=mask,
+    )
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
+def _stylize_chunk_capture(pipe, unet_params, content_chunk, style_chunk,
+                           latents, steps, ts, context3, mask, cfg, style_cfg):
+    """Capture-and-inject decomposition of the legacy 3-branch segment: per
+    step, run the style branch alone (F rows, capturing its PnP K/V), then the
+    2-branch [content | stylized] batch with that K/V injected. Exact — the
+    three branches only couple through the attention shift, which reads the
+    style branch's raw projected K/V (apply_style_shift; reference
+    pnp_utils.py:47-57) — and unlike the singleton pre-pass it does NOT
+    require identical style frames, so it serves AnimateDiff (whose motion
+    modules give every style frame a distinct positional encoding).
+
+    Under a frame-parallel mesh this is also the comm-correct layout: a [3F]
+    row axis cannot be branch-aligned on 2^k shards (48 rows / 8 shards = 6,
+    misaligned with branch boundaries at 16/32), which makes GSPMD all-gather
+    the full activation at every branch-chunking reshape — measured 11 GB per
+    3-branch step at 512px/16f; the [F] + [2F] calls shard cleanly."""
+    from univst_tpu.models.unet_sd import extract_pnp_kv
+
+    context2 = jnp.concatenate([context3[:1], context3[2:3]], axis=0)
+    denoise = pipe._denoise_fn(unet_params, context2, pipe.pnp_frame_indices, style_cfg)
+    context_sty = context3[1:2]
+    vctx = VideoCtx(
+        num_frames=pipe.num_frames,
+        frame_indices=pipe.base_frame_indices,
+        pnp_frame_indices=pipe.pnp_frame_indices,
+    )
+
+    def denoise2(x2, t, i, sty_lat):
+        sctx = StyleCtx(step_idx=i, cfg=style_cfg, capture=True)
+        _, state = pipe.unet.apply(
+            {"params": unet_params},
+            sty_lat.astype(pipe.dtype),
+            t,
+            context_sty.astype(pipe.dtype),
+            vctx,
+            sctx,
+            mutable=["pnp_kv"],
+        )
+        kv = extract_pnp_kv(state["pnp_kv"])
+        eps, _ = denoise(x2, t, i, style_kv=kv)
+        return eps
+
+    return style_transfer_ddim_steps(
+        denoise2, content_chunk, style_chunk, latents.astype(jnp.float32),
+        steps, ts, pipe.schedule, cfg, mask=mask, capture=True,
     )
 
 
