@@ -67,16 +67,38 @@ def main():
     print(f"stylize {n} steps @ {args.size}px x {args.frames}f: {dt:.1f}s "
           f"(incl. compile) -> {arr.shape}, finite ok")
 
-    # steady-state step time
+    # steady-state step time. NOTE: a flat dt/n * 50 extrapolation is wrong
+    # whenever the phase mix at n steps differs from the mix at 50 (the
+    # in-window capture+inject steps cost ~2x the solo steps) — compose the
+    # 50-step estimate from the measured per-phase rates instead.
+    from univst_tpu.core.config import SD3_STYLE_SHIFT
+    from univst_tpu.pipelines.segments import phase_segments
+
     t0 = time.time()
     out = pipe.stylize_latents(
         content, style, init, img_latents, context3, pooled3, mask=mask, cfg=cfg
     )
     np.asarray(out)
     dt = time.time() - t0
-    print(f"warm: {dt:.2f}s total, {dt/n*1e3:.0f} ms/step "
-          f"-> est. 50-step run {dt/n*50:.1f}s = "
-          f"{args.frames/(dt/n*50):.3f} frames/s")
+    p1, p2 = phase_segments(n, SD3_STYLE_SHIFT.window_end(), pipe.exec_chunk_default)
+    n1 = sum(c for _, c in p1)
+    n2 = n - n1
+    print(f"warm: {dt:.2f}s total, {dt/n*1e3:.0f} ms/step avg over "
+          f"{n1} capture+inject + {n2} solo steps")
+    if n == 50:
+        print(f"-> 50-step run {dt:.1f}s = {args.frames/dt:.3f} frames/s")
+    elif n2 == 0:
+        # all measured steps were phase-1; estimate 50-step with the solo
+        # steps at the measured ~x0.48 ratio (bench_sd3_anatomy: 3566/7386)
+        f1 = dt / n
+        p1_50, p2_50 = phase_segments(50, SD3_STYLE_SHIFT.window_end(), 50)
+        k1 = sum(c for _, c in p1_50)
+        est = k1 * f1 + (50 - k1) * f1 * 0.48
+        print(f"-> est. 50-step run {est:.1f}s = {args.frames/est:.3f} "
+              f"frames/s ({k1} phase-1 steps @ {f1*1e3:.0f} ms, "
+              f"{50-k1} solo @ ~48%)")
+    else:
+        print(f"-> run --steps 50 for the true 50-step number")
 
 
 if __name__ == "__main__":

@@ -10,8 +10,8 @@ from univst_tpu.attention.ops import resolve_frame_indices
 from univst_tpu.attention.pallas_attention import video_flash_attention
 
 
-def _naive(q, k, v, indices):
-    b, f, h, l, dh = q.shape
+def _naive(q, k, v, indices, ctx_k=None, ctx_v=None):
+    b, f, h, lq, dh = q.shape
     maps = resolve_frame_indices(indices, f)
     outs = np.zeros_like(np.asarray(q), dtype=np.float32)
     qn, kn, vn = map(np.asarray, (q, k, v))
@@ -19,6 +19,11 @@ def _naive(q, k, v, indices):
         for fi in range(f):
             ks = np.concatenate([kn[bi, m[fi]] for m in maps], axis=1)  # [h, S*l, dh]
             vs = np.concatenate([vn[bi, m[fi]] for m in maps], axis=1)
+            if ctx_k is not None:
+                # reference joint attention: own-frame context KV appended to
+                # the expanded KV (sd3 pnp_utils.py:59-84)
+                ks = np.concatenate([ks, np.asarray(ctx_k)[bi, fi]], axis=1)
+                vs = np.concatenate([vs, np.asarray(ctx_v)[bi, fi]], axis=1)
             for hi in range(h):
                 logits = qn[bi, fi, hi] @ ks[hi].T * (dh**-0.5)
                 p = np.exp(logits - logits.max(-1, keepdims=True))
@@ -48,6 +53,72 @@ def test_video_flash_matches_naive(indices, dh, unroll, dual):
                               unroll=unroll, dual=dual, interpret=True)
     )
     want = _naive(q, k, v, indices)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("dh", [32, 128])
+@pytest.mark.parametrize("lc", [77, 128])  # 77: non-lane-multiple ctx tail
+def test_video_flash_ctx_kv_matches_naive(dh, lc):
+    """The masked context-KV step (SD3 joint attention: each query also
+    attends its own frame's text tokens) vs the reference expand+concat
+    semantics, including the non-128-multiple ctx_valid masking."""
+    rng = np.random.default_rng(2)
+    b, f, h, l = 1, 4, 2, 256
+    shp = (b, f, h, l, dh)
+    q, k, v = (jnp.asarray(rng.standard_normal(shp), jnp.float32)
+               for _ in range(3))
+    ck, cv = (jnp.asarray(rng.standard_normal((b, f, h, lc, dh)), jnp.float32)
+              for _ in range(2))
+    got = np.asarray(
+        video_flash_attention(q, k, v, ("first", -1, 0), block_q=128,
+                              block_k=128, ctx_k=ck, ctx_v=cv, interpret=True)
+    )
+    want = _naive(q, k, v, ("first", -1, 0), ctx_k=ck, ctx_v=cv)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_video_flash_separate_q_length():
+    """Lq != L (SD3 runs the short context-token queries as a second call
+    against the same per-frame KV)."""
+    rng = np.random.default_rng(3)
+    b, f, h, l, lq, dh = 1, 3, 2, 256, 128, 32
+    q = jnp.asarray(rng.standard_normal((b, f, h, lq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
+    got = np.asarray(
+        video_flash_attention(q, k, v, ("first", -1), block_q=128,
+                              block_k=128, interpret=True)
+    )
+    # naive with full-length q padded then sliced
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, l - lq), (0, 0)))
+    want = _naive(qp, k, v, ("first", -1))[:, :, :, :lq]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_joint_video_attention_kernel_matches_reference(monkeypatch):
+    """joint_video_attention's fused-kernel route (image queries + appended
+    context rows) vs its own reference expand+concat+sdpa route."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from univst_tpu.attention import ops
+
+    rng = np.random.default_rng(4)
+    b, f, h, n, nc, dh = 1, 3, 2, 1024, 77, 32
+    shp = (b * f, h, n, dh)
+    q, k, v = (jnp.asarray(rng.standard_normal(shp), jnp.float32)
+               for _ in range(3))
+    cq, ck, cv = (jnp.asarray(rng.standard_normal((b * f, h, nc, dh)),
+                              jnp.float32) for _ in range(3))
+    idx = ("first", -1, 0)
+    want = np.asarray(
+        ops.joint_video_attention(q, k, v, f, idx, cq=cq, ck=ck, cv=cv)
+    )
+    monkeypatch.setattr(ops.jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            ops.joint_video_attention(q, k, v, f, idx, cq=cq, ck=ck, cv=cv)
+        )
+    assert got.shape == want.shape == (b * f, h, n + nc, dh)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 

@@ -346,6 +346,84 @@ def video_mha(q, k, v, num_heads: int, num_frames: int,
     return mha(q, k, v, num_heads, scale)
 
 
+def joint_video_attention(q, k, v, num_frames: int,
+                          frame_indices: Sequence[FrameIndex],
+                          cq=None, ck=None, cv=None,
+                          scale: float | None = None):
+    """SD3/MMDiT joint attention with sparse-causal video KV, on per-head
+    ``[B*F, H, L, dh]`` tensors (image tokens) plus optional per-head context
+    streams ``[B*F, H, Lc, dh]``.
+
+    Reference semantics (sd3 pnp_utils.py:53-84): expand the image K/V by
+    gathering ``frame_indices`` frames, concatenate the context K/V, and run
+    SDPA over the joint [img*slots | ctx] sequence. At 1024px that
+    materializes 600 MB per tensor per layer (16f x 3 slots x 4096 tokens)
+    and runs the library flash kernel at ~45 TFLOPS effective. On TPU this
+    instead streams the UNEXPANDED per-frame KV blocks through the fused
+    video kernel (pallas_attention.py) with the context as one extra masked
+    kv step — no expanded tensor exists, duplicate slots are elided (frames
+    0/1 under ('first', -1, 0) repeat frame 0), and the kernel measures ~60
+    TFLOPS at the SD3 shape (scripts/bench_sd3_anatomy.py). The context-token
+    queries run as a second short call against the same KV. Elsewhere (CPU
+    tests), the reference expand+concat+sdpa path runs unchanged.
+
+    Returns ``[B*F, H, L(+Lc), dh]`` (context rows appended when cq given).
+    """
+    import os
+
+    bf, nh, n, dh = q.shape
+    f = num_frames
+    has_ctx = cq is not None
+    use_kernel = (
+        frame_indices
+        and not os.environ.get("UNIVST_DISABLE_FLASH")
+        and jax.default_backend() in ("tpu", "axon")
+        and n >= 1024
+        and n % 128 == 0
+        and bf % f == 0
+    )
+    if not use_kernel:
+        kx = cross_frame_kv_heads(k, f, frame_indices) if frame_indices else k
+        vx = cross_frame_kv_heads(v, f, frame_indices) if frame_indices else v
+        if has_ctx:
+            q = jnp.concatenate([q, cq], axis=2)
+            kx = jnp.concatenate([kx, ck], axis=2)
+            vx = jnp.concatenate([vx, cv], axis=2)
+        return heads_attention(q, kx, vx, scale)
+
+    from univst_tpu.attention.pallas_attention import video_flash_attention
+
+    b = bf // f
+
+    def r5(x):
+        return x.reshape(b, f, nh, x.shape[2], dh)
+
+    dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    blk = largest_divisor_block(n)
+    sm = float(dh**-0.5 if scale is None else scale)
+    kw = dict(sm_scale=sm, block_q=blk, block_k=blk)
+    ctx_kw = {}
+    if has_ctx:
+        ctx_kw = dict(ctx_k=r5(ck).astype(dt), ctx_v=r5(cv).astype(dt),
+                      ctx_valid=ck.shape[2])
+    out_i = video_flash_attention(
+        r5(q).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+        tuple(frame_indices), **kw, **ctx_kw,
+    )
+    if not has_ctx:
+        return out_i.reshape(bf, nh, n, dh).astype(q.dtype)
+    nc = cq.shape[2]
+    nc_pad = -(-nc // 128) * 128
+    cq_p = jnp.pad(cq, ((0, 0), (0, 0), (0, nc_pad - nc), (0, 0)))
+    out_c = video_flash_attention(
+        r5(cq_p).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+        tuple(frame_indices), sm_scale=sm, block_q=nc_pad, block_k=blk,
+        **ctx_kw,
+    )[:, :, :, :nc]
+    out = jnp.concatenate([out_i, out_c], axis=3)
+    return out.reshape(bf, nh, n + nc, dh).astype(q.dtype)
+
+
 def mha(q, k, v, num_heads: int, scale: float | None = None):
     """Multi-head attention over pre-head ``[B, L, D]`` tensors; returns [B, L, D].
 
@@ -381,46 +459,13 @@ def heads_attention(qh, kh, vh, scale: float | None = None):
             flash_attention,
         )
 
-        # Pad to 512-multiples for long sequences so the block-size divisor
-        # rule below can pick real blocks (e.g. SD3's joint T=4429 would
-        # otherwise force 128-wide blocks); short sequences pad to the lane
-        # width only.
-        align_q = 512 if tq >= 1024 else 128
-        align_s = 512 if s >= 1024 else 128
-        tq_pad = -(-tq // align_q) * align_q
-        if tq_pad != tq:
-            # pad q rows; they attend the real KV and the extra output rows
-            # are sliced off below
-            qh = jnp.pad(qh, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
-
+        qh, kh, vh, kv_seg, tq_pad, s_pad = flash_pad(qh, kh, vh)
         segment_ids = None
-        s_pad = -(-s // align_s) * align_s
-        if s_pad != s:
-            # pad KV to the lane width and mask the tail via segment ids
-            # (q tokens are segment 0; padded kv tokens segment 1 never
-            # match) — this lets SD3's joint [img*frames | text] sequences
-            # (S not a multiple of 128) stream through the flash kernel
-            # instead of materializing [B, H, T, S] logits
-            pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
-            kh, vh = jnp.pad(kh, pad), jnp.pad(vh, pad)
-            kv_seg = jnp.broadcast_to(
-                (jnp.arange(s_pad, dtype=jnp.int32) >= s).astype(jnp.int32),
-                (b, s_pad),
-            )
+        if kv_seg is not None:
             segment_ids = SegmentIds(
                 q=jnp.zeros((b, tq_pad), jnp.int32), kv=kv_seg
             )
-            s = s_pad
-
-        # Tuned on v5e for the SD video shapes (L=4096/S=8192, dh=40):
-        # the library defaults run ~7x slower at small head_dim. Block sizes
-        # must divide the (128-padded) sequence lengths.
-        def _div(n, cap):
-            return max(bs for bs in (1024, 512, 256, 128) if bs <= cap and n % bs == 0)
-
-        bq = _div(tq_pad, min(1024, tq_pad))
-        bkm = _div(s, min(1024, s))
-        bk = _div(s, min(512, s))
+        bq, bkm, bk = flash_block_plan(tq_pad, s_pad)
         bs = BlockSizes(
             block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bkm, block_k_dkv=bk,
@@ -436,3 +481,55 @@ def heads_attention(qh, kh, vh, scale: float | None = None):
             out = out[:, :, :tq]
         return out
     return sdpa(qh, kh, vh, scale=scale)
+
+
+def flash_pad(qh, kh, vh):
+    """Pad ``[B, H, T, dh]`` q and ``[B, H, S, dh]`` k/v for the TPU flash
+    kernel; returns ``(q, k, v, kv_segment_or_None, tq_pad, s_pad)``.
+
+    Padded q rows attend the real KV and their outputs are sliced off by the
+    caller; padded KV rows are masked via segment ids (q tokens segment 0,
+    pad tokens segment 1 never match) — this lets SD3's joint
+    [img*frames | text] sequences (S=4429, not a 128-multiple) stream through
+    the flash kernel instead of materializing [B, H, T, S] logits. Long
+    sequences align to 512 so :func:`flash_block_plan` can pick real blocks;
+    short ones to the 128 lane width only. Split out from
+    :func:`heads_attention` so the CPU suite can verify the padding/masking
+    semantics without TPU hardware (tests/test_flash_padding.py, ADVICE r2)."""
+    b, _, tq, _ = qh.shape
+    s = kh.shape[2]
+    align_q = 512 if tq >= 1024 else 128
+    align_s = 512 if s >= 1024 else 128
+    tq_pad = -(-tq // align_q) * align_q
+    if tq_pad != tq:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
+    kv_seg = None
+    s_pad = -(-s // align_s) * align_s
+    if s_pad != s:
+        pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        kh, vh = jnp.pad(kh, pad), jnp.pad(vh, pad)
+        kv_seg = jnp.broadcast_to(
+            (jnp.arange(s_pad, dtype=jnp.int32) >= s).astype(jnp.int32),
+            (b, s_pad),
+        )
+    return qh, kh, vh, kv_seg, tq_pad, s_pad
+
+
+def flash_block_plan(tq_pad: int, s_pad: int):
+    """Block sizes (block_q, block_k_major, block_k) for the library flash
+    kernel, tuned on v5e. The library defaults run ~7x slower at small
+    head_dim. Blocks must divide the padded sequence lengths; 1536 leads the
+    candidates for the SD3 joint shapes (4429 pads to 4608 = 3 x 1536; q and
+    k-major blocks of 1536 measure ~10% faster than 512 —
+    scripts/bench_sd3_anatomy.py --probe attn: 33.4 vs 30.4 TFLOPS), while
+    the SD shapes (4096/8192) keep their tuned 1024."""
+
+    def _div(n, cap):
+        return max(bs for bs in (1536, 1024, 512, 256, 128)
+                   if bs <= cap and n % bs == 0)
+
+    return (
+        _div(tq_pad, min(1536, tq_pad)),
+        _div(s_pad, min(1536, s_pad)),
+        _div(s_pad, min(512, s_pad)),
+    )

@@ -42,13 +42,15 @@ def _kernel(
     q_ref,     # [1, bq, dh]
     k_ref,     # [1, bk, dh]
     v_ref,     # [1, bk, dh]  (lane ``sum_lane`` holds 1.0 — see below)
+    # optional inputs (blocked; present when ctx_valid is not None)
+    # ctx_k_ref, ctx_v_ref: [1, lc, dh] — the target row's own context KV
     # outputs
-    o_ref,     # [1, bq, dh]
+    # o_ref,     [1, bq, dh]
     # scratch
-    m_ref,     # [bq, 128] running max
-    l_ref,     # [bq, 128] running sum (used only when sum_lane is None)
-    acc_ref,   # [bq, dh] accumulator (lane ``sum_lane`` = running softmax sum)
-    *,
+    # m_ref,     [bq, 128] running max
+    # l_ref,     [bq, 128] running sum (used only when sum_lane is None)
+    # acc_ref,   [bq, dh] accumulator (lane ``sum_lane`` = running softmax sum)
+    *refs,
     sm_scale: float,
     kv_steps: int,
     nk: int,
@@ -57,7 +59,13 @@ def _kernel(
     sum_lane: int | None,
     unroll: int = 1,
     dual: bool = False,
+    ctx_valid: int | None = None,
 ):
+    if ctx_valid is not None:
+        ctx_k_ref, ctx_v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        ctx_k_ref = ctx_v_ref = None
+        o_ref, m_ref, l_ref, acc_ref = refs
     # At the video shapes this kernel is VPU-bound, not MXU-bound: the
     # per-logit elementwise chain costs more than the two padded matmuls
     # (L=4096, S=2L, dh 40->128: ~26 ms of exp/reduce vs ~22 ms of MXU per
@@ -72,6 +80,9 @@ def _kernel(
     #     the rescale-by-alpha bookkeeping falls out for free since the sum
     #     lives inside acc. Deletes one full [bq, bk] reduction pass per block.
     ikv = pl.program_id(2)
+    # with a context block, the LAST kv step processes the target row's own
+    # context KV (masked to ctx_valid tokens); main per-frame slots before it
+    kv_main = kv_steps - 1 if ctx_valid is not None else kv_steps
 
     @pl.when(ikv == 0)
     def _init():
@@ -80,47 +91,45 @@ def _kernel(
         if sum_lane is None:
             l_ref[...] = jnp.zeros_like(l_ref)
 
-    # Duplicate-slot elision: softmax over duplicated keys equals softmax
-    # over one copy with its probability mass scaled by the multiplicity
-    # (e.g. frame 0 under [-1, 0, 'first'] attends frame 0 three times).
-    # Dropped slots (mult 0) skip the whole block body — the MXU work
-    # vanishes; kept representative slots scale the PV contribution (and the
-    # in-acc softmax sum, which rides the same matmul) by mult. Exact.
-    tgt_f = (pl.program_id(0) % fh) // h
-    mult = mult_ref[tgt_f, ikv // nk]
+    def scaled_q():
+        return (q_ref[0].astype(jnp.float32) * (sm_scale * 1.4426950408889634)
+                ).astype(q_ref.dtype)
 
-    @pl.when(mult > 0)
-    def _body():
-        q = (q_ref[0].astype(jnp.float32) * (sm_scale * 1.4426950408889634)
-             ).astype(q_ref.dtype)
-        k = k_ref[0]
-        v = v_ref[0]
-        scale = mult.astype(jnp.float32)
+    def qk(qr, kr):
+        return jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows, bk] base-2 logits
 
-        def qk(qr, kr):
-            return jax.lax.dot_general(
-                qr, kr, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [rows, bk] base-2 logits
-
-        def chain(s, rows, vr):
-            """Online-softmax update of rows ``rows`` of the accumulators."""
-            m_prev = m_ref[rows, :1]
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp2(m_prev - m_new)
-            p = jnp.exp2(s - m_new)
-            if sum_lane is None:
-                l_ref[rows] = jnp.broadcast_to(
-                    alpha * l_ref[rows, :1]
-                    + scale * jnp.sum(p, axis=1, keepdims=True),
-                    l_ref[rows].shape,
-                )
-            acc_ref[rows] = acc_ref[rows] * alpha + scale * jax.lax.dot_general(
-                p.astype(vr.dtype), vr, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    def chain(s, rows, vr, scale):
+        """Online-softmax update of rows ``rows`` of the accumulators."""
+        m_prev = m_ref[rows, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        if sum_lane is None:
+            l_ref[rows] = jnp.broadcast_to(
+                alpha * l_ref[rows, :1]
+                + scale * jnp.sum(p, axis=1, keepdims=True),
+                l_ref[rows].shape,
             )
-            m_ref[rows] = jnp.broadcast_to(m_new, m_ref[rows].shape)
+        acc_ref[rows] = acc_ref[rows] * alpha + scale * jax.lax.dot_general(
+            p.astype(vr.dtype), vr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[rows] = jnp.broadcast_to(m_new, m_ref[rows].shape)
+
+    def run_block(k, v, scale, mask_from: int | None):
+        q = scaled_q()
+
+        def masked(s):
+            if mask_from is None or mask_from >= s.shape[1]:
+                return s
+            # context tail past ctx_valid is padding: force its logits to
+            # -inf BEFORE the running max so it contributes nothing
+            lanes = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            return jnp.where(lanes < mask_from, s, _NEG_INF)
 
         if dual:
             # Two INDEPENDENT q row-blocks per program: both QK matmuls issue
@@ -130,10 +139,10 @@ def _kernel(
             # axis, where the chains serialize through the shared running max.
             bqh = q.shape[0] // 2
             ra, rb = slice(0, bqh), slice(bqh, 2 * bqh)
-            s_a = qk(q[ra], k)
-            s_b = qk(q[rb], k)
-            chain(s_a, ra, v)
-            chain(s_b, rb, v)
+            s_a = masked(qk(q[ra], k))
+            s_b = masked(qk(q[rb], k))
+            chain(s_a, ra, v, scale)
+            chain(s_b, rb, v, scale)
         else:
             # Statically unrolled sub-blocks of the KV block (kept for
             # reference: measured consistently SLOWER on v5e — the chains
@@ -142,7 +151,27 @@ def _kernel(
             for j in range(unroll):
                 kj = jax.lax.slice_in_dim(k, j * bk, (j + 1) * bk, axis=0)
                 vj = jax.lax.slice_in_dim(v, j * bk, (j + 1) * bk, axis=0)
-                chain(qk(q, kj), slice(None), vj)
+                chain(masked(qk(q, kj)), slice(None), vj, scale)
+
+    # Duplicate-slot elision: softmax over duplicated keys equals softmax
+    # over one copy with its probability mass scaled by the multiplicity
+    # (e.g. frame 0 under [-1, 0, 'first'] attends frame 0 three times).
+    # Dropped slots (mult 0) skip the whole block body — the MXU work
+    # vanishes; kept representative slots scale the PV contribution (and the
+    # in-acc softmax sum, which rides the same matmul) by mult. Exact.
+    tgt_f = (pl.program_id(0) % fh) // h
+    # clamp: on the ctx step ikv // nk would index past the slot table
+    mult = mult_ref[tgt_f, jnp.minimum(ikv // nk, mult_ref.shape[1] - 1)]
+
+    @pl.when((ikv < kv_main) & (mult > 0))
+    def _body():
+        run_block(k_ref[0], v_ref[0], mult.astype(jnp.float32), None)
+
+    if ctx_valid is not None:
+
+        @pl.when(ikv == kv_steps - 1)
+        def _ctx_body():
+            run_block(ctx_k_ref[0], ctx_v_ref[0], jnp.float32(1.0), ctx_valid)
 
     @pl.when(ikv == kv_steps - 1)
     def _finish():
@@ -157,18 +186,37 @@ def video_flash_attention(
     q, k, v, frame_indices: Sequence, sm_scale: float | None = None,
     block_q: int = 1024, block_k: int = 1024, unroll: int | None = None,
     dual: bool | None = None, interpret: bool = False,
+    ctx_k=None, ctx_v=None, ctx_valid: int | None = None,
 ):
     """Attention where each frame's KV is the concat of the frames selected by
     ``frame_indices`` — computed WITHOUT materializing the expanded KV.
 
     Args:
-      q, k, v: ``[B, F, H, L, dh]``.
+      q: ``[B, F, H, Lq, dh]`` — Lq may differ from the KV length (SD3's
+        joint attention runs the image-token queries and the short
+        context-token queries as two calls against the same KV).
+      k, v: ``[B, F, H, L, dh]``.
       frame_indices: static sparse-causal index set (e.g. ``(-1, 'first')``).
-    Returns ``[B, F, H, L, dh]``.
+      ctx_k, ctx_v: optional ``[B, F, H, Lc, dh]`` per-frame context KV
+        (SD3 joint attention: every query also attends its own frame's text
+        tokens). Processed as one extra masked kv step; Lc is padded to the
+        lane width here and the tail masked to ``ctx_valid`` real tokens
+        (default Lc). The reference instead concatenates context into the
+        expanded KV before SDPA (sd3 pnp_utils.py:59-84).
+    Returns ``[B, F, H, Lq, dh]``.
     """
-    b, f, h, l, dh = q.shape
+    b, f, h, lq, dh = q.shape
+    l = k.shape[3]
     if sm_scale is None:
         sm_scale = dh**-0.5
+    has_ctx = ctx_k is not None
+    if has_ctx:
+        if ctx_valid is None:
+            ctx_valid = ctx_k.shape[3]
+        lc = -(-ctx_k.shape[3] // 128) * 128
+        if lc != ctx_k.shape[3]:
+            cpad = ((0, 0),) * 3 + ((0, lc - ctx_k.shape[3]), (0, 0))
+            ctx_k, ctx_v = jnp.pad(ctx_k, cpad), jnp.pad(ctx_v, cpad)
     # Pad head_dim to the TPU lane width. When padding exists anyway, one
     # spare lane carries the softmax-sum column (sum_lane); an exact multiple
     # of 128 keeps the VPU row-sum instead of padding a whole extra tile.
@@ -177,19 +225,28 @@ def video_flash_attention(
     if dh_pad != dh:
         pad = ((0, 0),) * 4 + ((0, dh_pad - dh),)
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        if has_ctx:
+            ctx_k, ctx_v = jnp.pad(ctx_k, pad), jnp.pad(ctx_v, pad)
     if sum_lane is not None:
         # ones at the sum lane (jnp.pad can't write a single lane; one cheap
         # fused update)
-        v = v + jnp.zeros((dh_pad,), v.dtype).at[sum_lane].set(1.0)
-    bq = min(block_q, l)
+        ones = jnp.zeros((dh_pad,), v.dtype).at[sum_lane].set(1.0)
+        v = v + ones
+        if has_ctx:
+            # the ctx softmax mass must ride the same sum lane — but ONLY for
+            # the ctx_valid real tokens (masked logits still produce
+            # p = exp2(-1e30 - m) = 0, so padded rows add nothing anyway)
+            ctx_v = ctx_v + ones
+    bq = min(block_q, lq)
     bk = min(block_k, l)
-    if l % bq or l % bk:
-        # the grid is (l // bq, l // bk) — a non-dividing block would silently
-        # leave tail q rows unwritten and tail KV unattended
+    if lq % bq or l % bk:
+        # the grid is (lq // bq, l // bk) — a non-dividing block would
+        # silently leave tail q rows unwritten and tail KV unattended
         raise ValueError(
-            f"block_q={bq} / block_k={bk} must divide sequence length l={l}"
+            f"block_q={bq} / block_k={bk} must divide q length {lq} / "
+            f"kv length {l}"
         )
-    nq = l // bq
+    nq = lq // bq
     nk = l // bk
     if unroll is None:
         # measured on v5e: sub-block unrolling (hoped-for MXU/VPU overlap)
@@ -200,7 +257,7 @@ def video_flash_attention(
         raise ValueError(f"unroll {unroll} must divide block_k {bk}")
     srcs = np.stack(resolve_frame_indices(tuple(frame_indices), f), axis=1)  # [F, S]
     s_slots = srcs.shape[1]
-    kv_steps = s_slots * nk
+    kv_steps = s_slots * nk + (1 if has_ctx else 0)
     # per-(frame, slot) multiplicity: first occurrence of a source frame
     # keeps the slot with count = #duplicates, later occurrences drop to 0
     mult = np.zeros_like(srcs)
@@ -210,7 +267,7 @@ def video_flash_attention(
                 continue  # duplicate of an earlier slot -> dropped
             mult[fi, sj] = int((srcs[fi] == srcs[fi, sj]).sum())
 
-    qv = q.reshape(b * f * h, l, dh_pad)
+    qv = q.reshape(b * f * h, lq, dh_pad)
 
     def q_map(ibfh, iq, ikv, srcs_ref, mult_ref):
         return (ibfh, iq, 0)
@@ -220,18 +277,28 @@ def video_flash_attention(
         tgt_f = fh // h
         hh = fh % h
         bb = ibfh // (f * h)
-        slot = ikv // nk
+        # clamp to the last real slot on the ctx step (block fetched, unused)
+        slot = jnp.minimum(ikv // nk, s_slots - 1)
         src_f = srcs_ref[tgt_f, slot]
-        return (bb * f * h + src_f * h + hh, ikv % nk, 0)
+        return (bb * f * h + src_f * h + hh, jnp.minimum(ikv % nk, nk - 1), 0)
 
+    def ctx_map(ibfh, iq, ikv, srcs_ref, mult_ref):
+        return (ibfh, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, bq, dh_pad), q_map),
+        pl.BlockSpec((1, bk, dh_pad), kv_map),
+        pl.BlockSpec((1, bk, dh_pad), kv_map),
+    ]
+    if has_ctx:
+        in_specs += [
+            pl.BlockSpec((1, lc, dh_pad), ctx_map),
+            pl.BlockSpec((1, lc, dh_pad), ctx_map),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b * f * h, nq, kv_steps),
-        in_specs=[
-            pl.BlockSpec((1, bq, dh_pad), q_map),
-            pl.BlockSpec((1, bk, dh_pad), kv_map),
-            pl.BlockSpec((1, bk, dh_pad), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, dh_pad), q_map),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -247,11 +314,21 @@ def video_flash_attention(
     kern = functools.partial(
         _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, nk=nk,
         fh=f * h, h=h, sum_lane=sum_lane, unroll=unroll, dual=dual,
+        ctx_valid=(ctx_valid if has_ctx else None),
     )
+    operands = [
+        jnp.asarray(srcs, jnp.int32), jnp.asarray(mult, jnp.int32), qv,
+        k.reshape(b * f * h, l, dh_pad), v.reshape(b * f * h, l, dh_pad),
+    ]
+    if has_ctx:
+        operands += [
+            ctx_k.reshape(b * f * h, lc, dh_pad),
+            ctx_v.reshape(b * f * h, lc, dh_pad),
+        ]
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * f * h, l, dh_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * f * h, lq, dh_pad), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # the [bq, bk] fp32 logit block dominates scoped VMEM; the default
@@ -260,7 +337,6 @@ def video_flash_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jnp.asarray(srcs, jnp.int32), jnp.asarray(mult, jnp.int32), qv,
-      k.reshape(b * f * h, l, dh_pad), v.reshape(b * f * h, l, dh_pad))
-    out = out.reshape(b, f, h, l, dh_pad)
+    )(*operands)
+    out = out.reshape(b, f, h, lq, dh_pad)
     return out[..., :dh] if dh_pad != dh else out

@@ -32,8 +32,8 @@ import numpy as np
 from univst_tpu.attention.ops import (
     apply_style_shift_sd3_injected,
     apply_style_shift_sd3,
-    cross_frame_kv_heads,
     heads_attention,
+    joint_video_attention,
 )
 from univst_tpu.models.layers import StyleCtx, TimestepEmbedMLP, VideoCtx, timestep_embedding
 
@@ -211,11 +211,6 @@ class JointAttention(nn.Module):
             q, k, v = apply_style_shift_sd3(
                 q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
             )
-        # sparse-causal cross-frame KV expansion (sd3 pnp_utils.py:53-78)
-        if video_ctx.is_video and video_ctx.frame_indices:
-            k = cross_frame_kv_heads(k, video_ctx.num_frames, video_ctx.frame_indices)
-            v = cross_frame_kv_heads(v, video_ctx.num_frames, video_ctx.frame_indices)
-
         cq = split(nn.Dense(d, dtype=self.dtype, name="add_q_proj")(ctx))
         ck = split(nn.Dense(d, dtype=self.dtype, name="add_k_proj")(ctx))
         cv = split(nn.Dense(d, dtype=self.dtype, name="add_v_proj")(ctx))
@@ -223,10 +218,15 @@ class JointAttention(nn.Module):
             cq = RMSNorm(dtype=self.dtype, name="norm_added_q")(cq)
             ck = RMSNorm(dtype=self.dtype, name="norm_added_k")(ck)
 
-        q = jnp.concatenate([q, cq], axis=2)
-        k = jnp.concatenate([k, ck], axis=2)
-        v = jnp.concatenate([v, cv], axis=2)
-        out = heads_attention(q, k, v)
+        # joint attention over [img*slots | ctx] with the sparse-causal
+        # cross-frame expansion (sd3 pnp_utils.py:53-84); on TPU the fused
+        # video kernel streams the unexpanded per-frame KV + masked ctx block
+        idx = (tuple(video_ctx.frame_indices)
+               if video_ctx.is_video and video_ctx.frame_indices else ())
+        out = joint_video_attention(
+            q, k, v, video_ctx.num_frames if idx else 1, idx,
+            cq=cq, ck=ck, cv=cv,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
         x_out, ctx_out = out[:, :n], out[:, n:]
         x_out = nn.Dense(d, dtype=self.dtype, name="to_out")(x_out)
@@ -274,10 +274,11 @@ class DualSelfAttention(nn.Module):
             q, k, v = apply_style_shift_sd3(
                 q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
             )
-        if video_ctx.is_video and video_ctx.frame_indices:
-            k = cross_frame_kv_heads(k, video_ctx.num_frames, video_ctx.frame_indices)
-            v = cross_frame_kv_heads(v, video_ctx.num_frames, video_ctx.frame_indices)
-        out = heads_attention(q, k, v)
+        idx = (tuple(video_ctx.frame_indices)
+               if video_ctx.is_video and video_ctx.frame_indices else ())
+        out = joint_video_attention(
+            q, k, v, video_ctx.num_frames if idx else 1, idx
+        )
         out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
         return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
 
