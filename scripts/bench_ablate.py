@@ -4,6 +4,11 @@ monkeypatches on univst_tpu.models.layers bindings — timing only, outputs are
 garbage. Usage: python scripts/bench_ablate.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import os
 import time
 

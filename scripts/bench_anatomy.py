@@ -12,6 +12,11 @@ BENCH_NOTES.md's breakdown stays measured, not estimated:
 Usage: python scripts/bench_anatomy.py [--reps 3]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import argparse
 import time
 

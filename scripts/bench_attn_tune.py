@@ -6,6 +6,11 @@ video kernel against the XLA expanded-KV path per resolution level and block
 size. Usage: python scripts/bench_attn_tune.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import time
 
 import jax
@@ -69,7 +74,12 @@ def main():
 
                 for bq, bk, dual in ((2048, 4096, False), (2048, 4096, True),
                                      (2048, 2048, True), (4096, 4096, True),
-                                     (1024, 2048, True)):
+                                     (1024, 2048, True),
+                                     # shapes that fit the 32x32 / 16x16
+                                     # levels (production: l >= 1024 uses the
+                                     # kernel with largest_divisor_block(l))
+                                     (1024, 1024, True), (512, 1024, True),
+                                     (256, 256, True), (128, 256, False)):
                     if bq > l or bk > l:
                         continue
 

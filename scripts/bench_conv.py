@@ -6,6 +6,11 @@ custom Pallas conv could close. Scan-amortized. Usage:
 python scripts/bench_conv.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import time
 
 import jax

@@ -18,6 +18,11 @@ Usage: python scripts/bench_sd3_anatomy.py --probe segments|attn|matmul
 Run probes in separate processes: segments holds ~4.2 GB of params.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import argparse
 import os
 import time

@@ -4,6 +4,11 @@ Usage: XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=49152" \
        python scripts/bench_solo_chunk.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import os
 import time
 

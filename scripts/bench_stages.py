@@ -5,6 +5,11 @@ stages, to locate non-step overhead (prepass, per-phase scans, VAE decode,
 uint8 transfer). Usage: python scripts/bench_stages.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import os
 import time
 

@@ -58,19 +58,21 @@ MEASURED_STEP_S = {"sd": 0.354, "ad": 0.514, "sd3": 7.481}
 
 
 def collect(hlo_text):
+    # tuple result types (combined all-to-alls) put spaces in the head:
+    # match up to the op name and sum every dtype[dims] group before it
     out = []
     for line in hlo_text.splitlines():
-        m = re.search(r"= \S* ?(" + "|".join(_COLL) + r")", line)
+        m = re.search(r"= (.*?)\b(" + "|".join(_COLL) + r")(?:-start)?\(", line)
         if not m:
             continue
-        head = line.split("=", 1)[1].split("(")[0]
+        head = m.group(1)
         sz = 0
         for dt, dims in re.findall(r"(bf16|f32|f16|s32|u32|pred)\[([0-9,]+)\]", head):
             n = 1
             for d in dims.split(","):
                 n *= int(d)
             sz += n * (2 if dt in ("bf16", "f16") else 4)
-        out.append((m.group(1), sz))
+        out.append((m.group(2), sz))
     return out
 
 
@@ -153,8 +155,10 @@ def census_ad(legacy: bool = False):
     f = 16
     cfg = UNetADConfig.ad_v2()
     unet = UNetAnimateDiff(cfg, dtype=jnp.bfloat16)
-    vctx = VideoCtx(num_frames=f, frame_indices=())
     mesh = make_mesh(n_data=8, n_tensor=1)
+    # mesh in the ctx -> motion modules reshard to token-sharded around
+    # their temporal attention (all-to-all) instead of gathering full KV
+    vctx = VideoCtx(num_frames=f, frame_indices=(), mesh=mesh)
     repl = NamedSharding(mesh, P())
     sh_x = NamedSharding(mesh, P("data", None, None, None))
     pshapes = jax.eval_shape(

@@ -2,6 +2,11 @@
 clip + style images + mask under examples/; this environment cannot ship
 those, so we synthesize a compatible demo corpus with the same layout)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import argparse
 import os
 

@@ -22,6 +22,11 @@ Usage:
 Recorded thresholds live in BENCH_NOTES.md (round 3).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import argparse
 import json
 import sys

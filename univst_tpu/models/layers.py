@@ -16,7 +16,7 @@ pytree arguments threaded through every ``__call__``:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import flax.struct
@@ -42,6 +42,12 @@ class VideoCtx:
     during stylization (pnp_utils.py:25, ``[-1, 'first']``) — the reference
     patches only those, so unpatched layers keep the 3-source default even
     inside video_style_transfer. ``None`` falls back to ``frame_indices``.
+
+    ``mesh`` (a hashable ``jax.sharding.Mesh``, static) lets layers whose
+    attention axis crosses shard boundaries place sharding constraints —
+    the AnimateDiff motion modules reshard frame-sharded activations to
+    token-sharded around their temporal attention (an all-to-all, Ulysses
+    style) instead of letting GSPMD all-gather the full KV per module.
     """
 
     num_frames: int = flax.struct.field(pytree_node=False, default=1)
@@ -51,6 +57,7 @@ class VideoCtx:
     pnp_frame_indices: Optional[Tuple[FrameIndex, ...]] = flax.struct.field(
         pytree_node=False, default=None
     )
+    mesh: Optional[Any] = flax.struct.field(pytree_node=False, default=None)
 
     @property
     def is_video(self) -> bool:

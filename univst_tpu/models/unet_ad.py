@@ -103,27 +103,72 @@ class TemporalSelfAttentionPE(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, num_frames: int):
+    def __call__(self, x, num_frames: int, mesh=None):
         bf, l, d = x.shape
         b = bf // num_frames
         f = num_frames
         dh = d // self.num_heads
         pe = jnp.asarray(_sinusoidal_pe(self.pe_max_len, d))[:f]
-        # PE over the frame axis; frame attention as a (b, l, h)-batched
-        # einsum on the native layout (no physical transposes)
-        xt = x.reshape(b, f, l, d) + pe[None, :, None, :].astype(x.dtype)
-        xt = xt.reshape(bf, l, d)
+        # PE over the frame axis, added in the flat [bf, l, d] layout: tiling
+        # the (tiny, replicated) PE table avoids reshaping the activation to
+        # (b, f, ...) — that merge is unrepresentable under a dim0 sharding
+        # whose shard size doesn't align with branch boundaries, and GSPMD
+        # lowers it as a full-activation all-gather per q/k/v at every motion
+        # module (measured: the entire gather budget of the frame-sharded AD
+        # step came from this line, not from the attention itself).
+        xt = x + jnp.tile(pe, (b, 1))[:, None, :].astype(x.dtype)
         q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(xt)
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(xt)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(xt)
-        qh = q.reshape(b, f, l, self.num_heads, dh)
-        kh = k.reshape(b, f, l, self.num_heads, dh)
-        vh = v.reshape(b, f, l, self.num_heads, dh)
-        logits = jnp.einsum(
-            "bflhd,bglhd->blhfg", qh, kh, preferred_element_type=jnp.float32
-        ) * (dh**-0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        out = jnp.einsum("blhfg,bglhd->bflhd", probs, vh).reshape(bf, l, d)
+
+        def frame_attn(qx, kx, vx):
+            """Temporal attention over the full frame axis; token axis may be
+            a shard-local slice. [bf, lx, d] x3 -> [bf, lx, d]."""
+            lx = qx.shape[1]
+            qh = qx.reshape(b, f, lx, self.num_heads, dh)
+            kh = kx.reshape(b, f, lx, self.num_heads, dh)
+            vh = vx.reshape(b, f, lx, self.num_heads, dh)
+            # frame attention as a (b, l, h)-batched einsum on the native
+            # layout (no physical transposes)
+            logits = jnp.einsum(
+                "bflhd,bglhd->blhfg", qh, kh, preferred_element_type=jnp.float32
+            ) * (dh**-0.5)
+            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            return jnp.einsum("blhfg,bglhd->bflhd", probs, vh).reshape(bf, lx, d)
+
+        # Ulysses-style reshard under a frame-parallel mesh: the attention
+        # axis is the (sharded) frame axis, so without help GSPMD all-gathers
+        # the full K/V at every motion module — 5.8 GB/step at 512px/16f
+        # (BENCH_NOTES r3 comm census), the worst comm pattern in the repo.
+        # An explicit shard_map swaps the sharded axis to the spatial-token
+        # dim (one all-to-all in, one out per q/k/v/out, each moving 1/N of
+        # the activation per chip), making the attention fully shard-local —
+        # ~2N x less comm than the K/V gathers. GSPMD cannot be trusted to
+        # find this itself: a with_sharding_constraint reshard here lowers to
+        # "involuntary full rematerialization" (replicate + repartition).
+        # Token counts at every UNet level divide the mesh (4096/1024/256/
+        # 64 @512px); skip when they don't.
+        n_data = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+        if n_data > 1 and l % n_data == 0 and bf % n_data == 0:
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+
+            a2a = partial(jax.lax.all_to_all, axis_name="data", tiled=True)
+
+            def local_attn(qx, kx, vx):
+                # [bf/n, l, d] -> [bf, l/n, d]: full frames, 1/n tokens
+                qx, kx, vx = (a2a(t, split_axis=1, concat_axis=0)
+                              for t in (qx, kx, vx))
+                out = frame_attn(qx, kx, vx)
+                return a2a(out, split_axis=0, concat_axis=1)
+
+            spec = P("data", None, None)
+            out = jax.shard_map(
+                local_attn, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec
+            )(q, k, v)
+        else:
+            out = frame_attn(q, k, v)
         return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
 
 
@@ -151,7 +196,7 @@ class MotionModule(nn.Module):
                     self.cfg.motion_pe_max_len,
                     dtype=self.dtype,
                     name=f"block_{bi}_attn_{ai}",
-                )(hn, video_ctx.num_frames)
+                )(hn, video_ctx.num_frames, mesh=video_ctx.mesh)
             hn = nn.LayerNorm(dtype=self.dtype, name=f"block_{bi}_ff_norm")(tokens)
             tokens = tokens + FeedForwardGEGLU(
                 c, dtype=self.dtype, name=f"block_{bi}_ff"

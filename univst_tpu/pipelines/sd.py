@@ -273,7 +273,8 @@ class SDVideoPipeline:
         is a single branch."""
         if style_cfg is None and not pnp_plain:
             # inversion / reconstruction: unpatched model, default indices
-            vctx = VideoCtx(num_frames=self.num_frames, frame_indices=frame_indices)
+            vctx = VideoCtx(num_frames=self.num_frames,
+                            frame_indices=frame_indices, mesh=self.mesh)
         else:
             # stylization: only the 8 patched decoder layers use the PnP set;
             # everything else keeps the model default (reference patches just
@@ -282,6 +283,7 @@ class SDVideoPipeline:
                 num_frames=self.num_frames,
                 frame_indices=self.base_frame_indices,
                 pnp_frame_indices=frame_indices,
+                mesh=self.mesh,
             )
 
         def denoise(latents, t, step_idx, style_kv=None):
@@ -687,6 +689,7 @@ def _stylize_chunk_capture(pipe, unet_params, content_chunk, style_chunk,
         num_frames=pipe.num_frames,
         frame_indices=pipe.base_frame_indices,
         pnp_frame_indices=pipe.pnp_frame_indices,
+        mesh=pipe.mesh,
     )
 
     def denoise2(x2, t, i, sty_lat):
