@@ -54,10 +54,18 @@ def scan_of(fn, x):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="64,32,16",
+                    help="comma-separated hw levels to bench (64/32/16)")
+    args = ap.parse_args()
+    lv = {int(s) for s in args.levels.split(",")}
     print(f"device={jax.devices()[0]}")
     key = jax.random.PRNGKey(0)
     for b in (32, 16):
         for (hw, d, heads) in [(64, 320, 8), (32, 640, 8), (16, 1280, 8)]:
+            if hw not in lv:
+                continue
             l = hw * hw
             dh = d // heads
             bf = b  # b already counts branches*frames

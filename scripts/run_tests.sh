@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Sharded test runner (VERDICT r3 weak #7: the monolithic slow set outgrew a
+# 30-minute single-process run on a 1-core CPU box).
+#
+# Runs the fast set, then the slow set in three separate pytest processes.
+# Separate processes matter twice over:
+#   * each batch stays < 100 tests, so the conftest keeps persistent-cache
+#     WRITES enabled (full-suite runs disable them to dodge a jaxlib 0.9.0
+#     serialize segfault) — warm reruns stay fast;
+#   * a batch failure is localized instead of killing one long run.
+#
+# Usage: scripts/run_tests.sh [fast|slow|all(default)]
+
+set -u
+cd "$(dirname "$0")/.."
+mode="${1:-all}"
+rc=0
+
+run() {
+  echo "=== $1 ==="
+  shift
+  python -m pytest -q "$@" || rc=1
+}
+
+if [ "$mode" = fast ] || [ "$mode" = all ]; then
+  run "fast set" -m "not slow" tests/
+fi
+
+if [ "$mode" = slow ] || [ "$mode" = all ]; then
+  run "slow: e2e workflows" -m slow tests/test_e2e_tiny.py
+  run "slow: distributed + comm + singleton" -m slow \
+    tests/test_distributed.py tests/test_comm_pattern.py \
+    tests/test_style_singleton.py
+  run "slow: models + methods" -m slow \
+    tests/test_raft.py tests/test_unet_ad.py tests/test_unet_sd.py \
+    tests/test_style_transfer.py tests/test_mmdit.py
+fi
+
+exit $rc

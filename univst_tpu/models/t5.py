@@ -149,8 +149,9 @@ class T5TokenizerShim:
         for p in prompts:
             if p.strip():
                 raise ValueError(
-                    "No T5 vocabulary available offline; only empty prompts "
-                    "are supported without tokenizer files."
+                    "No T5 vocabulary available offline; only empty "
+                    "prompts are supported without --pretrained_model_path "
+                    "tokenizer files. Got a non-empty prompt."
                 )
             ids.append([T5_EOS] + [T5_PAD] * (self.max_len - 1))
         return np.asarray(ids, np.int32)
