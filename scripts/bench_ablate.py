@@ -25,11 +25,14 @@ from univst_tpu.core.config import StyleTransferConfig
 from univst_tpu.pipelines.sd import SDVideoPipeline, _stylize_chunk_solo
 from univst_tpu.pipelines.segments import phase_segments
 
+import flax.linen as nn
+
 ORIG = {
     "video_mha": L.video_mha,
     "mha": L.mha,
     "ffn": L.FeedForwardGEGLU.__call__,
     "gn": L.GroupNorm.__call__,
+    "dense": nn.Dense.__call__,
 }
 
 
@@ -38,6 +41,16 @@ def restore():
     L.mha = ORIG["mha"]
     L.FeedForwardGEGLU.__call__ = ORIG["ffn"]
     L.GroupNorm.__call__ = ORIG["gn"]
+    nn.Dense.__call__ = ORIG["dense"]
+
+
+def _square_dense_identity(self, x):
+    """Identity for d->d Dense layers (qkv/out projections, proj_in/out,
+    square time-emb stages); non-square ones (GEGLU, time-emb down-proj)
+    keep the real matmul. Timing-only."""
+    if self.features == x.shape[-1]:
+        return x.astype(self.dtype) if self.dtype is not None else x
+    return ORIG["dense"](self, x)
 
 
 def main():
@@ -84,6 +97,40 @@ def main():
     base = run()
     print(f"{'baseline':34s} {base:8.1f} ms/step")
 
+    # UNet-only scan at the same shapes: baseline - this = scheduler step +
+    # mask/AdaIN blends + trajectory slicing (the non-UNet step work)
+    from univst_tpu.models.layers import StyleCtx, VideoCtx
+
+    vctx = VideoCtx(num_frames=frames,
+                    frame_indices=pipe.base_frame_indices,
+                    pnp_frame_indices=pipe.pnp_frame_indices)
+
+    @jax.jit
+    def unet_scan(params, lat):
+        # cfg-less ctx = the pnp_plain/solo form (shift inactive, PnP indices
+        # active) — matches _stylize_chunk_solo's denoiser
+        sctx = StyleCtx(step_idx=jnp.asarray(40))
+
+        def body(x, t):
+            eps, _ = pipe.unet.apply(
+                {"params": params}, x.astype(pipe.dtype), t,
+                jnp.broadcast_to(context3[2:3], (1, 77, context3.shape[-1])
+                                 ).astype(pipe.dtype),
+                vctx, sctx)
+            return x + eps.astype(x.dtype) * 1e-6, ()
+
+        out, _ = jax.lax.scan(body, lat, jnp.asarray(ts_np[s0:s0 + c]))
+        return out
+
+    np.asarray(jnp.sum(unet_scan(pipe.unet_params, lat).astype(jnp.float32)))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jnp.sum(unet_scan(pipe.unet_params, lat).astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{'UNet-only scan':34s} {best / c * 1e3:8.1f} ms/step  "
+          f"(delta {base - best / c * 1e3:+.1f})")
+
     ablations = {
         "no self-attn (video_mha -> q)": lambda: setattr(
             L, "video_mha", lambda q, k, v, H, F, idx, scale=None: q),
@@ -93,6 +140,8 @@ def main():
             L.FeedForwardGEGLU, "__call__", lambda self, x: x),
         "no GroupNorm (gn -> x)": lambda: setattr(
             L.GroupNorm, "__call__", lambda self, x: x),
+        "no square Dense (d->d projs -> x)": lambda: setattr(
+            nn.Dense, "__call__", _square_dense_identity),
     }
     for name, patch in ablations.items():
         restore()

@@ -94,6 +94,28 @@ def _sinusoidal_pe(max_len: int, d_model: int) -> np.ndarray:
     return pe
 
 
+class _DenseKernel(nn.Module):
+    """Parameter holder matching ``nn.Dense``'s tree ({kernel[, bias]}) so a
+    module can apply the projection inside a ``shard_map`` while keeping
+    checkpoint/converter compatibility byte-for-byte."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features_out,))
+            if self.use_bias else None
+        )
+        return kern, bias
+
+
 class TemporalSelfAttentionPE(nn.Module):
     """VersatileAttention 'Temporal_Self' (motion_module.py:250-337):
     per-spatial-location attention over frames with additive sinusoidal PE."""
@@ -116,14 +138,23 @@ class TemporalSelfAttentionPE(nn.Module):
         # lowers it as a full-activation all-gather per q/k/v at every motion
         # module (measured: the entire gather budget of the frame-sharded AD
         # step came from this line, not from the attention itself).
-        xt = x + jnp.tile(pe, (b, 1))[:, None, :].astype(x.dtype)
-        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(xt)
-        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(xt)
-        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(xt)
+        pe_rows = jnp.tile(pe, (b, 1))[:, None, :].astype(x.dtype)
+        wq, _ = _DenseKernel(d, d, name="to_q")()
+        wk, _ = _DenseKernel(d, d, name="to_k")()
+        wv, _ = _DenseKernel(d, d, name="to_v")()
+        wo, bo = _DenseKernel(d, d, use_bias=True, name="to_out")()
 
-        def frame_attn(qx, kx, vx):
-            """Temporal attention over the full frame axis; token axis may be
-            a shard-local slice. [bf, lx, d] x3 -> [bf, lx, d]."""
+        def body(xt, pe_r, wq, wk, wv, wo, bo):
+            """PE add + q/k/v proj + frame attention + out proj, on a token
+            slice. [bf, lx, d] -> [bf, lx, d] (lx may be a shard-local
+            slice; the frame axis is always full here)."""
+            xt = xt + pe_r
+            dt = self.dtype
+
+            def proj(t, w):
+                return t.astype(dt) @ w.astype(dt)
+
+            qx, kx, vx = proj(xt, wq), proj(xt, wk), proj(xt, wv)
             lx = qx.shape[1]
             qh = qx.reshape(b, f, lx, self.num_heads, dh)
             kh = kx.reshape(b, f, lx, self.num_heads, dh)
@@ -134,42 +165,46 @@ class TemporalSelfAttentionPE(nn.Module):
                 "bflhd,bglhd->blhfg", qh, kh, preferred_element_type=jnp.float32
             ) * (dh**-0.5)
             probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-            return jnp.einsum("blhfg,bglhd->bflhd", probs, vh).reshape(bf, lx, d)
+            out = jnp.einsum("blhfg,bglhd->bflhd", probs, vh).reshape(bf, lx, d)
+            return proj(out, wo) + bo.astype(dt)
 
         # Ulysses-style reshard under a frame-parallel mesh: the attention
         # axis is the (sharded) frame axis, so without help GSPMD all-gathers
         # the full K/V at every motion module — 5.8 GB/step at 512px/16f
         # (BENCH_NOTES r3 comm census), the worst comm pattern in the repo.
         # An explicit shard_map swaps the sharded axis to the spatial-token
-        # dim (one all-to-all in, one out per q/k/v/out, each moving 1/N of
-        # the activation per chip), making the attention fully shard-local —
-        # ~2N x less comm than the K/V gathers. GSPMD cannot be trusted to
-        # find this itself: a with_sharding_constraint reshard here lowers to
-        # "involuntary full rematerialization" (replicate + repartition).
-        # Token counts at every UNet level divide the mesh (4096/1024/256/
-        # 64 @512px); skip when they don't.
+        # dim and back (one all-to-all each way, moving 1/N of the activation
+        # per chip); the projections run inside on replicated kernels, so the
+        # attention block's total comm is TWO a2a — ~4N x less than the K/V
+        # gathers. GSPMD cannot be trusted to find this itself: a
+        # with_sharding_constraint reshard here lowers to "involuntary full
+        # rematerialization" (replicate + repartition). Token counts at every
+        # UNet level divide the mesh (4096/1024/256/64 @512px); skip when
+        # they don't.
         n_data = dict(mesh.shape).get("data", 1) if mesh is not None else 1
         if n_data > 1 and l % n_data == 0 and bf % n_data == 0:
-            from functools import partial
-
             from jax.sharding import PartitionSpec as P
 
-            a2a = partial(jax.lax.all_to_all, axis_name="data", tiled=True)
-
-            def local_attn(qx, kx, vx):
+            def local_fn(xt, pe_r, *ws):
                 # [bf/n, l, d] -> [bf, l/n, d]: full frames, 1/n tokens
-                qx, kx, vx = (a2a(t, split_axis=1, concat_axis=0)
-                              for t in (qx, kx, vx))
-                out = frame_attn(qx, kx, vx)
-                return a2a(out, split_axis=0, concat_axis=1)
+                xt = jax.lax.all_to_all(
+                    xt, axis_name="data", split_axis=1, concat_axis=0,
+                    tiled=True,
+                )
+                out = body(xt, pe_r, *ws)
+                return jax.lax.all_to_all(
+                    out, axis_name="data", split_axis=0, concat_axis=1,
+                    tiled=True,
+                )
 
             spec = P("data", None, None)
-            out = jax.shard_map(
-                local_attn, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec
-            )(q, k, v)
-        else:
-            out = frame_attn(q, k, v)
-        return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
+            repl = P()
+            return jax.shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(spec, repl, repl, repl, repl, repl, repl),
+                out_specs=spec,
+            )(x, pe_rows, wq, wk, wv, wo, bo)
+        return body(x, pe_rows, wq, wk, wv, wo, bo)
 
 
 class MotionModule(nn.Module):
