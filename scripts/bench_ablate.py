@@ -33,6 +33,7 @@ ORIG = {
     "ffn": L.FeedForwardGEGLU.__call__,
     "gn": L.GroupNorm.__call__,
     "dense": nn.Dense.__call__,
+    "conv": nn.Conv.__call__,
 }
 
 
@@ -42,6 +43,21 @@ def restore():
     L.FeedForwardGEGLU.__call__ = ORIG["ffn"]
     L.GroupNorm.__call__ = ORIG["gn"]
     nn.Dense.__call__ = ORIG["dense"]
+    nn.Conv.__call__ = ORIG["conv"]
+
+
+def _fake_conv(self, x):
+    """Shape-preserving stand-in for nn.Conv (stride + channel adjust via
+    slice/tile, no MACs). Timing-only: isolates the conv share of the step."""
+    strides = self.strides if self.strides is not None else (1, 1)
+    s = strides[0] if isinstance(strides, (tuple, list)) else strides
+    out = x[:, ::s, ::s, :] if x.ndim == 4 else x
+    c_out, c_in = self.features, out.shape[-1]
+    if c_out <= c_in:
+        out = out[..., :c_out]
+    else:
+        out = jnp.tile(out, (1,) * (out.ndim - 1) + (-(-c_out // c_in),))[..., :c_out]
+    return out
 
 
 def _square_dense_identity(self, x):
@@ -142,6 +158,8 @@ def main():
             L.GroupNorm, "__call__", lambda self, x: x),
         "no square Dense (d->d projs -> x)": lambda: setattr(
             nn.Dense, "__call__", _square_dense_identity),
+        "no spatial convs (conv -> slice/tile)": lambda: setattr(
+            nn.Conv, "__call__", _fake_conv),
     }
     for name, patch in ablations.items():
         restore()
@@ -152,6 +170,24 @@ def main():
         except Exception as e:
             print(f"{name:34s} FAILED {type(e).__name__}: {e}")
     restore()
+
+    # HLO cost analysis of the unablated chunk: is the non-MXU remainder
+    # structural HBM traffic? bytes/819GB/s + flops/197T are the two walls.
+    try:
+        compiled = jax.jit(
+            lambda params, lat: _stylize_chunk_solo.__wrapped__(
+                pipe, params, content, style[:, :1], lat, ts_np, s0,
+                context3, mask, cfg, c, n)
+        ).lower(pipe.unet_params, lat).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fl = ca.get("flops", 0) / c
+        by = ca.get("bytes accessed", 0) / c
+        print(f"cost_analysis/step: {fl/1e12:.2f} TFLOP, {by/1e9:.2f} GB "
+              f"accessed -> walls {fl/197e12*1e3:.1f} ms MXU / "
+              f"{by/819e9*1e3:.1f} ms HBM")
+    except Exception as e:
+        print(f"cost_analysis FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
