@@ -46,12 +46,51 @@ def _peak_tflops(device) -> float:
     return 197.0
 
 
+def _measure_families(families):
+    """Run the AD / SD3 smoke benchmarks as subprocesses (each builds a
+    multi-GB pipeline; process isolation returns the HBM between runs) and
+    collect their --json result lines. Invoked only via --families; the
+    driver's plain `python bench.py` run never pays for this."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmds = {
+        "ad": [sys.executable, os.path.join(here, "scripts/smoke_ad_tpu.py"),
+               "--json", "--steps", "4"],
+        "sd3": [sys.executable, os.path.join(here, "scripts/smoke_sd3_tpu.py"),
+                "--json", "--steps", "2"],
+    }
+    out = {}
+    for fam in families:
+        if fam not in cmds:
+            continue
+        try:
+            r = subprocess.run(cmds[fam], capture_output=True, text=True,
+                               timeout=3600)
+            line = next(l for l in reversed(r.stdout.splitlines())
+                        if l.startswith("{"))
+            out[fam] = json.loads(line)
+        except Exception as e:  # a family failure shouldn't kill the headline
+            out[fam] = {"error": repr(e)}
+    return out
+
+
 def main():
+    import argparse
     import os
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--families", default=os.environ.get("UNIVST_BENCH_FAMILIES", ""),
+        help="comma-separated extra workload families to measure and attach "
+             "under extra.families (ad,sd3); each runs as a subprocess after "
+             "the headline benchmark")
+    args = ap.parse_args()
 
     # One dispatch per phase (26 multi-branch steps, then 24 stylized-only):
     # a 26-step segment executes in ~11 s, well under the TPU tunnel's ~2 min
@@ -197,6 +236,9 @@ def main():
             "mfu": None if mfu is None else round(mfu, 3),
         },
     }
+    fams = [f for f in args.families.split(",") if f]
+    if fams and on_tpu:
+        result["extra"]["families"] = _measure_families(fams)
     print(json.dumps(result))
     print(
         f"# device={dev} variant={variant} steps={steps} frames={frames} "

@@ -82,6 +82,8 @@ def main():
 
                 for bq, bk, dual in ((2048, 4096, False), (2048, 4096, True),
                                      (2048, 2048, True), (4096, 4096, True),
+                                     (2048, 4096, 4), (4096, 4096, 4),
+                                     (4096, 4096, 8), (1024, 2048, 4),
                                      (1024, 2048, True),
                                      # shapes that fit the 32x32 / 16x16
                                      # levels (production: l >= 1024 uses the

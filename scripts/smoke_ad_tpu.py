@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--json", action="store_true",
+                    help="print one machine-readable JSON result line "
+                         "(consumed by bench.py --families)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -65,6 +68,13 @@ def main():
     dt = time.time() - t0
     print(f"warm: {dt:.2f}s, {dt/n*1e3:.0f} ms/step -> est. 50-step run "
           f"{dt/n*50:.1f}s = {args.frames/(dt/n*50):.3f} frames/s")
+    if args.json:
+        import json
+        print(json.dumps({
+            "family": "ad", "size": args.size, "frames": args.frames,
+            "measured_steps": n, "ms_per_step": round(dt / n * 1e3, 1),
+            "frames_per_sec_50step": round(args.frames / (dt / n * 50), 4),
+        }))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--variant", default="sd3")
+    ap.add_argument("--json", action="store_true",
+                    help="print one machine-readable JSON result line "
+                         "(consumed by bench.py --families)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -88,7 +91,9 @@ def main():
     n2 = n - n1
     print(f"warm: {dt:.2f}s total, {dt/n*1e3:.0f} ms/step avg over "
           f"{n1} capture+inject + {n2} solo steps")
+    est = None
     if n == 50:
+        est = dt
         print(f"-> 50-step run {dt:.1f}s = {args.frames/dt:.3f} frames/s")
     elif n2 == 0:
         # all measured steps were phase-1; estimate 50-step with the solo
@@ -102,6 +107,15 @@ def main():
               f"{50-k1} solo @ ~48%)")
     else:
         print(f"-> run --steps 50 for the true 50-step number")
+    if args.json:
+        import json
+        print(json.dumps({
+            "family": "sd3", "variant": args.variant, "size": args.size,
+            "frames": args.frames, "measured_steps": n,
+            "ms_per_step": round(dt / n * 1e3, 1),
+            "frames_per_sec_50step":
+                None if est is None else round(args.frames / est, 4),
+        }))
 
 
 if __name__ == "__main__":

@@ -156,3 +156,36 @@ def test_sd3_workflow(example_data):
     ]))
     frames = sorted(os.listdir(out / "st" / "sd3" / "vid_style"))
     assert len(frames) == FRAMES
+
+
+def test_one_process_workflow_runner(example_data):
+    """run_workflow drives all four stages in one process and reproduces the
+    per-stage CLI output tree (cold-start feature: one backend init instead
+    of four through the remote-TPU relay)."""
+    root = example_data
+    out = root / "results_wf"
+
+    from univst_tpu.cli import run_workflow as wf
+
+    wf.main(wf.build_parser().parse_args([
+        "--backbone", "sd", "--variant", "tiny",
+        "--num_frames", str(FRAMES), "--height", str(SIZE),
+        "--width", str(SIZE), "--time_steps", str(STEPS),
+        "--platform", "cpu",
+        "--content_path", str(root / "contents" / "vid"),
+        "--style_path", str(root / "style.png"),
+        "--mask_path", str(root / "mask.png"),
+        "--output_root", str(out),
+    ]))
+    assert (out / "contents-inv" / "sd" / "vid" / "inversion" /
+            f"ddim_latents_{STEPS}.pt").exists()
+    assert (out / "styles-inv" / "sd" / "style" / "inversion" /
+            f"ddim_latents_{STEPS}.pt").exists()
+    for i in range(FRAMES):
+        assert (out / "masks" / "sd" / "mask" / ("%05d.png" % i)).exists()
+    styl_dir = out / "stylizations" / "sd" / "vid_style"
+    frames = sorted(os.listdir(styl_dir))
+    assert len(frames) == FRAMES
+    img = np.asarray(Image.open(styl_dir / frames[0]))
+    assert img.shape == (SIZE, SIZE, 3)
+    assert img.std() > 0

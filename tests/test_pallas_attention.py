@@ -40,7 +40,7 @@ def _naive(q, k, v, indices, ctx_k=None, ctx_v=None):
 @pytest.mark.parametrize(
     "dh,unroll,dual",
     [(32, 1, False), (128, 1, False), (32, 2, False), (128, 2, False),
-     (32, 1, True), (128, 1, True)],
+     (32, 1, True), (128, 1, True), (32, 1, 4), (128, 1, 4)],
 )
 def test_video_flash_matches_naive(indices, dh, unroll, dual):
     rng = np.random.default_rng(0)
@@ -134,9 +134,12 @@ def test_block_size_must_divide_length():
 
 def test_dual_odd_block_raises():
     q = jnp.zeros((1, 2, 1, 385, 32), jnp.float32)
-    with pytest.raises(ValueError, match="even block_q"):
+    with pytest.raises(ValueError, match="divisible by the chain count"):
         video_flash_attention(q, q, q, ("first",), block_q=385, block_k=385,
                               dual=True)
+    with pytest.raises(ValueError, match="divisible by the chain count"):
+        video_flash_attention(q, q, q, ("first",), block_q=385, block_k=385,
+                              dual=4)
 
 
 def test_largest_divisor_block():

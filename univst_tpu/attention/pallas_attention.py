@@ -132,17 +132,18 @@ def _kernel(
             return jnp.where(lanes < mask_from, s, _NEG_INF)
 
         if dual:
-            # Two INDEPENDENT q row-blocks per program: both QK matmuls issue
-            # first, then the two softmax chains. Chain A only depends on
-            # s_A, so the VLIW scheduler can run chain A's VPU work under
-            # s_B / PV_B MXU time — unlike sub-block unrolling over the KV
-            # axis, where the chains serialize through the shared running max.
-            bqh = q.shape[0] // 2
-            ra, rb = slice(0, bqh), slice(bqh, 2 * bqh)
-            s_a = masked(qk(q[ra], k))
-            s_b = masked(qk(q[rb], k))
-            chain(s_a, ra, v, scale)
-            chain(s_b, rb, v, scale)
+            # INDEPENDENT q row-blocks per program (dual=2, or more via an
+            # int): all QK matmuls issue first, then the softmax chains.
+            # Chain A only depends on s_A, so the VLIW scheduler can run
+            # chain A's VPU work under later chains' MXU time — unlike
+            # sub-block unrolling over the KV axis, where the chains
+            # serialize through the shared running max.
+            nch = 2 if dual is True else int(dual)
+            bqh = q.shape[0] // nch
+            rows = [slice(i * bqh, (i + 1) * bqh) for i in range(nch)]
+            ss = [masked(qk(q[r], k)) for r in rows]
+            for s_i, r in zip(ss, rows):
+                chain(s_i, r, v, scale)
         else:
             # Statically unrolled sub-blocks of the KV block (kept for
             # reference: measured consistently SLOWER on v5e — the chains
@@ -308,9 +309,15 @@ def video_flash_attention(
     )
     if dual is None:
         dual = bq >= 256 and bq % 2 == 0
-    elif dual and bq % 2:
-        # bqh = bq // 2 would cover only 2*bqh rows, silently dropping the last
-        raise ValueError(f"dual=True requires an even block_q, got {bq}")
+    elif dual:
+        # bqh = bq // nch must cover every row — a remainder would silently
+        # drop the tail rows
+        nch = 2 if dual is True else int(dual)
+        if nch < 1 or bq % nch:
+            raise ValueError(
+                f"dual={dual} requires block_q divisible by the chain count, "
+                f"got block_q={bq}"
+            )
     kern = functools.partial(
         _kernel, sm_scale=float(sm_scale), kv_steps=kv_steps, nk=nk,
         fh=f * h, h=h, sum_lane=sum_lane, unroll=unroll, dual=dual,
