@@ -189,3 +189,30 @@ def test_one_process_workflow_runner(example_data):
     img = np.asarray(Image.open(styl_dir / frames[0]))
     assert img.shape == (SIZE, SIZE, 3)
     assert img.std() > 0
+
+
+def test_workflow_runner_cpu_mesh(example_data):
+    """CPU-mesh CLI invocation end-to-end: the full 4-stage workflow with
+    --mesh data=4 on the 8-virtual-device CPU mesh (conftest), one frame per
+    shard — the user-reachable multi-chip path, not just the dryrun."""
+    root = example_data
+    out = root / "results_mesh"
+
+    from univst_tpu.cli import run_workflow as wf
+
+    wf.main(wf.build_parser().parse_args([
+        "--backbone", "sd", "--variant", "tiny",
+        "--num_frames", str(FRAMES), "--height", str(SIZE),
+        "--width", str(SIZE), "--time_steps", str(STEPS),
+        "--platform", "cpu", "--mesh", "data=4",
+        "--content_path", str(root / "contents" / "vid"),
+        "--style_path", str(root / "style.png"),
+        "--mask_path", str(root / "mask.png"),
+        "--output_root", str(out),
+    ]))
+    styl_dir = out / "stylizations" / "sd" / "vid_style"
+    frames = sorted(os.listdir(styl_dir))
+    assert len(frames) == FRAMES
+    img = np.asarray(Image.open(styl_dir / frames[0]))
+    assert img.shape == (SIZE, SIZE, 3)
+    assert img.std() > 0

@@ -33,10 +33,12 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_tensor
-    if n_data * n_tensor != len(devices):
+    if n_data * n_tensor > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_tensor} does not cover {len(devices)} devices"
+            f"mesh {n_data}x{n_tensor} needs more than the "
+            f"{len(devices)} available devices"
         )
+    devices = devices[: n_data * n_tensor]  # smaller meshes use a prefix
     arr = np.asarray(devices).reshape(n_data, n_tensor)
     return Mesh(arr, ("data", "tensor"))
 
