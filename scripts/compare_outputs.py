@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--json", action="store_true", help="print one JSON line")
     ap.add_argument("--psnr-min", type=float, default=None)
     ap.add_argument("--ssim-min", type=float, default=None)
+    ap.add_argument("--lpips-alexnet", type=str, default=None,
+                    help="torchvision AlexNet state_dict .pth (adds LPIPS; "
+                         "SURVEY §6 north star is LPIPS <= 0.02)")
+    ap.add_argument("--lpips-lin", type=str, default=None,
+                    help="lpips 'lin' heads state_dict .pth")
+    ap.add_argument("--lpips-max", type=float, default=None,
+                    help="fail when mean LPIPS exceeds this")
     args = ap.parse_args()
 
     result = {}
@@ -68,6 +75,15 @@ def main():
                 f"frame count mismatch: {a.shape[0]} vs {b.shape[0]}"
             )
         result = compare_frame_stacks(a, b)
+        if args.lpips_alexnet and args.lpips_lin:
+            from univst_tpu.utils.lpips import lpips_distance, load_lpips_params
+
+            params = load_lpips_params(args.lpips_alexnet, args.lpips_lin)
+            d = np.asarray(lpips_distance(
+                params, a.astype(np.float32) / 127.5 - 1.0,
+                b.astype(np.float32) / 127.5 - 1.0))
+            result["lpips_per_frame"] = [round(float(x), 5) for x in d]
+            result["lpips_mean"] = float(d.mean())
 
     if args.json:
         print(json.dumps(result))
@@ -83,6 +99,8 @@ def main():
         fail.append(f"psnr_min {result['psnr_min']:.2f} < {args.psnr_min}")
     if args.ssim_min is not None and result.get("ssim_min", np.inf) < args.ssim_min:
         fail.append(f"ssim_min {result['ssim_min']:.4f} < {args.ssim_min}")
+    if args.lpips_max is not None and result.get("lpips_mean", 0.0) > args.lpips_max:
+        fail.append(f"lpips_mean {result['lpips_mean']:.4f} > {args.lpips_max}")
     if fail:
         print("GATE FAILED: " + "; ".join(fail), file=sys.stderr)
         sys.exit(1)
