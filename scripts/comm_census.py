@@ -13,7 +13,6 @@ Output: a markdown table for BENCH_NOTES.md.
 
 import argparse
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -39,12 +38,10 @@ from univst_tpu.core.config import (
     SD_PNP_FRAME_INDICES,
     SD_STYLE_SHIFT,
 )
+from univst_tpu.distributed.hlo_census import collect_collectives
 from univst_tpu.distributed.mesh import make_mesh
 from univst_tpu.distributed.tp import mmdit_param_shardings
 from univst_tpu.models.layers import StyleCtx, VideoCtx
-
-_COLL = ("all-gather", "collective-permute", "all-reduce", "all-to-all",
-         "reduce-scatter")
 
 # v5e ICI: 2D torus, ~45 GB/s per link per direction; ring collectives on one
 # torus axis drive 2 links concurrently -> ~90 GB/s effective per-chip
@@ -58,22 +55,9 @@ MEASURED_STEP_S = {"sd": 0.354, "ad": 0.514, "sd3": 7.481}
 
 
 def collect(hlo_text):
-    # tuple result types (combined all-to-alls) put spaces in the head:
-    # match up to the op name and sum every dtype[dims] group before it
-    out = []
-    for line in hlo_text.splitlines():
-        m = re.search(r"= (.*?)\b(" + "|".join(_COLL) + r")(?:-start)?\(", line)
-        if not m:
-            continue
-        head = m.group(1)
-        sz = 0
-        for dt, dims in re.findall(r"(bf16|f32|f16|s32|u32|pred)\[([0-9,]+)\]", head):
-            n = 1
-            for d in dims.split(","):
-                n *= int(d)
-            sz += n * (2 if dt in ("bf16", "f16") else 4)
-        out.append((m.group(2), sz))
-    return out
+    # shared parser (also used by tests/test_comm_pattern.py); drop the
+    # hlo-line element — the census only tallies (op, bytes)
+    return [(op, sz) for op, sz, _ in collect_collectives(hlo_text)]
 
 
 def census_sd(legacy: bool = False):

@@ -94,13 +94,25 @@ def main():
             else:
                 print(f"{k}: {v:.4f}")
 
+    # A gate whose metric was never computed is a configuration error, not a
+    # pass — otherwise a forgotten --lpips-alexnet/--lpips-lin pair (or gating
+    # PSNR in --latents mode) reports green without measuring anything.
     fail = []
-    if args.psnr_min is not None and result.get("psnr_min", np.inf) < args.psnr_min:
-        fail.append(f"psnr_min {result['psnr_min']:.2f} < {args.psnr_min}")
-    if args.ssim_min is not None and result.get("ssim_min", np.inf) < args.ssim_min:
-        fail.append(f"ssim_min {result['ssim_min']:.4f} < {args.ssim_min}")
-    if args.lpips_max is not None and result.get("lpips_mean", 0.0) > args.lpips_max:
-        fail.append(f"lpips_mean {result['lpips_mean']:.4f} > {args.lpips_max}")
+    for gate, flag, key, op in (
+        (args.psnr_min, "--psnr-min", "psnr_min", "<"),
+        (args.ssim_min, "--ssim-min", "ssim_min", "<"),
+        (args.lpips_max, "--lpips-max", "lpips_mean", ">"),
+    ):
+        if gate is None:
+            continue
+        if key not in result:
+            raise SystemExit(
+                f"GATE ERROR: {flag} given but {key} was never computed "
+                "(latents mode, or missing --lpips-alexnet/--lpips-lin)"
+            )
+        v = result[key]
+        if (v < gate) if op == "<" else (v > gate):
+            fail.append(f"{key} {v:.4f} {op} {gate}")
     if fail:
         print("GATE FAILED: " + "; ".join(fail), file=sys.stderr)
         sys.exit(1)

@@ -57,8 +57,12 @@ def test_video_flash_matches_naive(indices, dh, unroll, dual):
 
 
 @pytest.mark.parametrize("dh", [32, 128])
-@pytest.mark.parametrize("lc", [77, 128])  # 77: non-lane-multiple ctx tail
-def test_video_flash_ctx_kv_matches_naive(dh, lc):
+# 77: non-lane-multiple ctx tail; unroll=2 splits the ctx block into
+# sub-blocks whose masking must use GLOBAL column indices — (77, 2) puts the
+# valid boundary inside sub-block 1, (200, 2) makes sub-block 1 entirely
+# padding (regression: both were mis-masked when lanes were block-local)
+@pytest.mark.parametrize("lc,unroll", [(77, 1), (128, 1), (77, 2), (200, 2)])
+def test_video_flash_ctx_kv_matches_naive(dh, lc, unroll):
     """The masked context-KV step (SD3 joint attention: each query also
     attends its own frame's text tokens) vs the reference expand+concat
     semantics, including the non-128-multiple ctx_valid masking."""
@@ -71,10 +75,25 @@ def test_video_flash_ctx_kv_matches_naive(dh, lc):
               for _ in range(2))
     got = np.asarray(
         video_flash_attention(q, k, v, ("first", -1, 0), block_q=128,
-                              block_k=128, ctx_k=ck, ctx_v=cv, interpret=True)
+                              block_k=128, ctx_k=ck, ctx_v=cv, unroll=unroll,
+                              interpret=True)
     )
     want = _naive(q, k, v, ("first", -1, 0), ctx_k=ck, ctx_v=cv)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_ctx_unroll_must_divide_padded_length():
+    rng = np.random.default_rng(4)
+    b, f, h, l, dh = 1, 2, 1, 384, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
+               for _ in range(3))
+    ck, cv = (jnp.asarray(rng.standard_normal((b, f, h, 77, dh)), jnp.float32)
+              for _ in range(2))  # pads to lc=128, indivisible by 3
+    # unroll=3 divides block_k=96 (so the main-block check passes) but not
+    # the padded ctx length 128 — must raise instead of dropping ctx columns
+    with pytest.raises(ValueError, match="context length"):
+        video_flash_attention(q, k, v, ("first",), block_q=128, block_k=96,
+                              ctx_k=ck, ctx_v=cv, unroll=3, interpret=True)
 
 
 def test_video_flash_separate_q_length():

@@ -123,12 +123,15 @@ def _kernel(
     def run_block(k, v, scale, mask_from: int | None):
         q = scaled_q()
 
-        def masked(s):
-            if mask_from is None or mask_from >= s.shape[1]:
+        def masked(s, col0: int = 0):
+            # ``mask_from`` is a GLOBAL column threshold; ``col0`` is the
+            # first global column of this (sub-)block — nonzero on the
+            # unrolled path, where lane indices are sub-block-local.
+            if mask_from is None or mask_from >= col0 + s.shape[1]:
                 return s
             # context tail past ctx_valid is padding: force its logits to
             # -inf BEFORE the running max so it contributes nothing
-            lanes = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            lanes = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             return jnp.where(lanes < mask_from, s, _NEG_INF)
 
         if dual:
@@ -152,7 +155,7 @@ def _kernel(
             for j in range(unroll):
                 kj = jax.lax.slice_in_dim(k, j * bk, (j + 1) * bk, axis=0)
                 vj = jax.lax.slice_in_dim(v, j * bk, (j + 1) * bk, axis=0)
-                chain(masked(qk(q, kj)), slice(None), vj, scale)
+                chain(masked(qk(q, kj), j * bk), slice(None), vj, scale)
 
     # Duplicate-slot elision: softmax over duplicated keys equals softmax
     # over one copy with its probability mass scaled by the multiplicity
@@ -256,6 +259,11 @@ def video_flash_attention(
         unroll = 1
     elif unroll > 1 and bk % unroll:
         raise ValueError(f"unroll {unroll} must divide block_k {bk}")
+    if has_ctx and unroll > 1 and lc % unroll:
+        # the ctx step runs the same unrolled body over the [lc, dh] block;
+        # a non-dividing unroll would silently drop the tail sub-block
+        raise ValueError(
+            f"unroll {unroll} must divide the padded context length {lc}")
     srcs = np.stack(resolve_frame_indices(tuple(frame_indices), f), axis=1)  # [F, S]
     s_slots = srcs.shape[1]
     kv_steps = s_slots * nk + (1 if has_ctx else 0)

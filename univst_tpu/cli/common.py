@@ -131,3 +131,30 @@ def add_mesh_flag(parser):
              "JAX devices",
     )
     return parser
+
+
+def singleton_style_or_fallback(pipe, style_rev, style_inv_path, time_steps):
+    """Style-singleton precondition guard shared by the transfer CLIs.
+
+    The fast path slices the style trajectory to one frame — exact only when
+    all its frames are identical (true for run_style_inversion_* outputs: a
+    repeated style image). A trajectory that violates this (e.g. a content
+    inversion passed as --style_inv_path) falls back to the exact legacy
+    3-branch batch with a warning instead of silently dropping frames 1..F-1.
+
+    Returns the (possibly replaced) pipeline and style trajectory.
+    """
+    import dataclasses
+    import warnings
+
+    from univst_tpu.core.trajectory import style_frames_identical
+
+    if style_frames_identical(style_inv_path, time_steps):
+        # one frame per step -> 16x less host->device traffic, and the
+        # singleton fast path runs the 2-branch batch
+        return pipe, style_rev[:, :1]
+    warnings.warn(
+        f"style trajectory at {style_inv_path} has non-identical frames; "
+        "disabling the style-singleton fast path"
+    )
+    return dataclasses.replace(pipe, style_singleton=False), style_rev

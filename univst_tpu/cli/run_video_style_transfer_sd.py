@@ -14,7 +14,10 @@ import numpy as np
 
 from univst_tpu.utils.io import fetch_array
 
-from univst_tpu.cli.common import add_mesh_flag, build_pipeline_from_args, setup_jax
+from univst_tpu.cli.common import (
+    add_mesh_flag, build_pipeline_from_args, setup_jax,
+    singleton_style_or_fallback,
+)
 from univst_tpu.utils.io import load_mask, save_frames, seed_everything
 
 
@@ -24,7 +27,7 @@ def main(args):
 
     from univst_tpu.core.adain import latent_adain
     from univst_tpu.core.config import StyleTransferConfig
-    from univst_tpu.core.trajectory import load_trajectory, style_frames_identical
+    from univst_tpu.core.trajectory import load_trajectory
 
     if args.seed is not None:
         seed_everything(args.seed)
@@ -57,23 +60,8 @@ def main(args):
     content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
     style_rev = load_trajectory(args.style_inv_path, args.time_steps, reverse=True)
     if pipe.style_singleton and args.smoother is None:
-        if style_frames_identical(args.style_inv_path, args.time_steps):
-            # style-trajectory frames are identical by construction (a repeated
-            # style image); ship one frame per step to the device (16x less
-            # host->device traffic) and let the singleton fast path run
-            style_rev = style_rev[:, :1]
-        else:
-            # e.g. --style_inv_path pointing at a content inversion: the
-            # singleton slice would silently drop frames 1..F-1 — run the
-            # exact legacy 3-branch batch instead
-            import dataclasses as _dc
-            import warnings
-
-            warnings.warn(
-                f"style trajectory at {args.style_inv_path} has non-identical "
-                "frames; disabling the style-singleton fast path"
-            )
-            pipe = _dc.replace(pipe, style_singleton=False)
+        pipe, style_rev = singleton_style_or_fallback(
+            pipe, style_rev, args.style_inv_path, args.time_steps)
 
     # init latent shift (run_video_style_transfer_sd.py:55-57); the
     # AnimateDiff runner passes the raw content noise instead

@@ -14,7 +14,9 @@ import os
 
 import numpy as np
 
-from univst_tpu.cli.common import add_mesh_flag, setup_jax
+from univst_tpu.cli.common import (
+    add_mesh_flag, setup_jax, singleton_style_or_fallback,
+)
 from univst_tpu.cli.run_content_inversion_sd3 import build_sd3_pipeline
 from univst_tpu.utils.io import load_mask, save_frames, seed_everything
 
@@ -25,7 +27,7 @@ def main(args):
 
     from univst_tpu.core.adain import latent_adain_sd3
     from univst_tpu.core.config import StyleTransferConfig
-    from univst_tpu.core.trajectory import load_trajectory, style_frames_identical
+    from univst_tpu.core.trajectory import load_trajectory
     if args.seed is not None:
         seed_everything(args.seed)
 
@@ -34,21 +36,8 @@ def main(args):
     content_rev = load_trajectory(args.content_inv_path, args.time_steps, reverse=True)
     style_rev = load_trajectory(args.style_inv_path, args.time_steps, reverse=True)
     if pipe.style_singleton:
-        if style_frames_identical(args.style_inv_path, args.time_steps):
-            # style-trajectory frames are identical (repeated style image) —
-            # ship one frame per step; the singleton fast path runs 2-branch
-            style_rev = style_rev[:, :1]
-        else:
-            # wrong-input guard: non-identical style frames (e.g. a content
-            # inversion) fall back to the exact legacy 3-branch batch
-            import dataclasses as _dc
-            import warnings
-
-            warnings.warn(
-                f"style trajectory at {args.style_inv_path} has non-identical "
-                "frames; disabling the style-singleton fast path"
-            )
-            pipe = _dc.replace(pipe, style_singleton=False)
+        pipe, style_rev = singleton_style_or_fallback(
+            pipe, style_rev, args.style_inv_path, args.time_steps)
     # clean content image latents (= ddim_latents_0 = last of reversed order)
     img_latents = content_rev[-1]
 

@@ -62,12 +62,20 @@ def main(args):
     ci_mod, si_mod, st_mod = mods
     mp_mod = importlib.import_module("univst_tpu.cli.mask_propagation")
 
+    # EXACTLY the stage CLIs' own derivations (run_content_inversion_*.py:37,
+    # run_style_inversion_*.py:43, mask_propagation.py:31) so the predicted
+    # stage-output paths never diverge — e.g. "starry.night.png" must map to
+    # "starry" in both places, which splitext would get wrong.
     name = os.path.basename(os.path.normpath(args.content_path)).split(".")[0]
-    sname = os.path.splitext(os.path.basename(args.style_path))[0]
-    mname = os.path.splitext(os.path.basename(args.mask_path))[0]
+    sname = os.path.basename(args.style_path).split(".")[0]
+    mname = os.path.basename(args.mask_path).split(".")[0]
     root = args.output_root
     stages = (args.stages.split(",") if args.stages != "all"
               else ["content", "style", "mask", "transfer"])
+    unknown = set(stages) - {"content", "style", "mask", "transfer"}
+    if unknown:
+        raise SystemExit(f"unknown --stages {sorted(unknown)}; valid: "
+                         "content,style,mask,transfer")
 
     shared = {
         "--pretrained_model_path": args.pretrained_model_path,
@@ -86,7 +94,7 @@ def main(args):
     }
 
     t_all = time.time()
-    ft_i, ft_t = None, None
+    ft_i, ft_t = args.ft_indices, args.ft_timesteps
 
     def run(label, mod, flags):
         parser = mod.build_parser()
@@ -104,6 +112,8 @@ def main(args):
             "--output_path": f"{root}/contents-inv",
             "--is_opt": args.backbone in ("sd", "animatediff"),
             "--is_rf_solver": args.backbone == "sd3",
+            "--ft_indices": args.ft_indices,
+            "--ft_timesteps": args.ft_timesteps,
         })
         ft_i, ft_t = a.ft_indices, a.ft_timesteps
     if "style" in stages:
@@ -114,7 +124,7 @@ def main(args):
             "--is_rf_solver": args.backbone == "sd3",
         })
     if "mask" in stages:
-        if ft_i is None:  # stage skipped this run: read the CLI defaults
+        if ft_i is None:  # not given + stage skipped: read the CLI defaults
             p = ci_mod.build_parser().parse_args([])
             ft_i, ft_t = p.ft_indices, p.ft_timesteps
         feature = (f"{root}/contents-inv/{args.backbone}/{name}/features/"
@@ -170,6 +180,12 @@ def build_parser():
     p.add_argument("--motion_module_path", type=str, default=None)
     p.add_argument("--dreambooth_path", type=str, default=None)
     p.add_argument("--lora_path", type=str, default=None)
+    p.add_argument("--ft_indices", type=int, default=None,
+                   help="feature-capture block index (forwarded to the "
+                        "content stage and used to locate its feature map "
+                        "when --stages skips it)")
+    p.add_argument("--ft_timesteps", type=int, default=None,
+                   help="feature-capture timestep (same forwarding rule)")
     return p
 
 

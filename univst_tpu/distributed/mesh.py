@@ -56,6 +56,26 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def shard_input(mesh: Optional[Mesh], x, axis: int = 0):
+    """Pipeline input helper: frame-axis sharding that is a no-op without a
+    mesh and replicates non-divisible axes (e.g. the singleton style
+    trajectory). Shared by the SD/AD and SD3 pipelines' ``_shard``."""
+    if mesh is None or x is None:
+        return x
+    import jax.numpy as jnp
+
+    return shard_frames(jnp.asarray(x), mesh, axis)
+
+
+def replicate_input(mesh: Optional[Mesh], x):
+    """Pipeline input helper: replicate one array (no-op without a mesh)."""
+    if mesh is None or x is None:
+        return x
+    import jax.numpy as jnp
+
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 

@@ -209,20 +209,14 @@ class SDVideoPipeline:
         )
 
     def _shard(self, x, axis: int = 0):
-        """Frame-axis input sharding (no-op without a mesh; replicates
-        non-divisible axes, e.g. the singleton style trajectory)."""
-        if self.mesh is None or x is None:
-            return x
-        from univst_tpu.distributed.mesh import shard_frames
+        from univst_tpu.distributed.mesh import shard_input
 
-        return shard_frames(jnp.asarray(x), self.mesh, axis)
+        return shard_input(self.mesh, x, axis)
 
     def _replicated(self, x):
-        if self.mesh is None or x is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from univst_tpu.distributed.mesh import replicate_input
 
-        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, P()))
+        return replicate_input(self.mesh, x)
 
     # -- stages ---------------------------------------------------------------
     # Parameters always flow through jit as ARGUMENTS (never closed over):

@@ -238,18 +238,14 @@ class SD3VideoPipeline:
         )
 
     def _shard(self, x, axis: int = 0):
-        if self.mesh is None or x is None:
-            return x
-        from univst_tpu.distributed.mesh import shard_frames
+        from univst_tpu.distributed.mesh import shard_input
 
-        return shard_frames(jnp.asarray(x), self.mesh, axis)
+        return shard_input(self.mesh, x, axis)
 
     def _replicated(self, x):
-        if self.mesh is None or x is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from univst_tpu.distributed.mesh import replicate_input
 
-        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, P()))
+        return replicate_input(self.mesh, x)
 
     # -- text -----------------------------------------------------------------
 
