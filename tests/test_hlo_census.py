@@ -15,6 +15,7 @@ HloModule jit_fn
   %cp = bf16[8,16]{1,0} collective-permute(%c), source_target_pairs={{0,1}}
   %a2a = (f32[1,4,16]{2,1,0}, f32[1,4,16]{2,1,0}, bf16[1,4,16]{2,1,0}) all-to-all(%x, %y, %z), replica_groups=[2,4]<=[8]
   %ars = f32[8,16]{1,0} all-reduce-start(%p), to_apply=%sum
+  %prm = pred[8,16]{1,0} all-reduce(%m), to_apply=%or
   %add = f32[8,16]{1,0} add(%p, %p)
   %note = f32[8]{0} custom-call(), custom_call_target="not-an-all-gather-op"
 """
@@ -24,14 +25,16 @@ def test_collects_ops_and_bytes():
     colls = collect_collectives(_HLO)
     ops = [c[0] for c in colls]
     assert ops == ["all-gather", "collective-permute", "all-to-all",
-                   "all-reduce"]
-    by_op = {c[0]: c[1] for c in colls}
-    assert by_op["all-gather"] == 64 * 16 * 4
-    assert by_op["collective-permute"] == 8 * 16 * 2
+                   "all-reduce", "all-reduce"]
+    sizes = {(c[0], c[1]) for c in colls}
+    assert ("all-gather", 64 * 16 * 4) in sizes
+    assert ("collective-permute", 8 * 16 * 2) in sizes
     # tuple result: every dtype[dims] group in the head is summed
-    assert by_op["all-to-all"] == 64 * 4 + 64 * 4 + 64 * 2
+    assert ("all-to-all", 64 * 4 + 64 * 4 + 64 * 2) in sizes
     # -start suffix (async collectives) maps to the base op
-    assert by_op["all-reduce"] == 8 * 16 * 4
+    assert ("all-reduce", 8 * 16 * 4) in sizes
+    # pred is 1 byte in HLO, not 4
+    assert ("all-reduce", 8 * 16 * 1) in sizes
 
 
 def test_each_entry_keeps_its_hlo_line():

@@ -74,3 +74,38 @@ def test_upsample_and_binarize():
     assert out.shape == (f - 1, 64, 64)
     assert set(np.unique(out)).issubset({0, 255})
     assert out.sum() > 0  # something was propagated
+
+
+def test_cli_binary_255_mask_matches_01_mask(tmp_path):
+    """A conventional {0,255} binary PNG must propagate identically to the
+    {0,1} encoding (and as a 2-class problem, not 256 one-hot planes —
+    regression: n_cls was derived from max()+1)."""
+    import torch
+    from PIL import Image
+
+    from univst_tpu.cli import mask_propagation as mp
+
+    rng = np.random.default_rng(0)
+    f, fh, fw, c = 4, 8, 8, 16
+    feats = torch.from_numpy(rng.standard_normal((f, fh, fw, c)).astype(np.float32))
+    feat_path = tmp_path / "inversion_feature_map_2_block_301_step.pt"
+    torch.save(feats, feat_path)
+
+    m = np.zeros((32, 32), np.uint8)
+    m[8:20, 10:22] = 1
+    Image.fromarray(m, mode="L").save(tmp_path / "m01.png")
+    Image.fromarray(m * 255, mode="L").save(tmp_path / "m255.png")
+
+    outs = {}
+    for name in ("m01", "m255"):
+        mp.main(mp.build_parser().parse_args([
+            "--feature_path", str(feat_path), "--backbone", "sd",
+            "--mask_path", str(tmp_path / f"{name}.png"),
+            "--output_path", str(tmp_path / "out"), "--num_frames", str(f),
+            "--platform", "cpu",
+        ]))
+        frames = [np.asarray(Image.open(tmp_path / "out" / "sd" / name / ("%05d.png" % i)))
+                  for i in range(1, f)]  # frame 0 is the input passthrough
+        outs[name] = np.stack(frames)
+    np.testing.assert_array_equal(outs["m01"], outs["m255"])
+    assert set(np.unique(outs["m01"])) <= {0, 255}

@@ -222,3 +222,40 @@ def test_sd3_phase_split_matches_full_loop(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_split), np.asarray(out_full), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pos_embed_matches_diffusers_formula():
+    """Formula-verbatim oracle for the fixed 2D sin-cos positional embedding
+    (diffusers get_2d_sincos_pos_embed, itself from MAE). Naming quirk
+    pinned here: the upstream concatenates the embedding of grid[0] FIRST
+    and calls it 'emb_h' — but grid = meshgrid(grid_w, grid_h) puts the W
+    coordinate in grid[0], so pretrained SD3 weights expect
+    [w-embedding | h-embedding] (regression: the original implementation
+    concatenated the h-embedding first)."""
+    from univst_tpu.models.mmdit import sincos_pos_embed_2d
+
+    def upstream(embed_dim, grid_size):
+        # diffusers get_2d_sincos_pos_embed, transcribed
+        grid_h = np.arange(grid_size, dtype=np.float64)
+        grid_w = np.arange(grid_size, dtype=np.float64)
+        grid = np.meshgrid(grid_w, grid_h)  # here w goes first
+        grid = np.stack(grid, axis=0)
+        grid = grid.reshape([2, 1, grid_size, grid_size])
+
+        def emb_1d(dim, pos):
+            omega = np.arange(dim // 2, dtype=np.float64)
+            omega /= dim / 2.0
+            omega = 1.0 / 10000**omega
+            out = np.einsum("m,d->md", pos.reshape(-1), omega)
+            return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+        emb_h = emb_1d(embed_dim // 2, grid[0])  # upstream's (mis)naming
+        emb_w = emb_1d(embed_dim // 2, grid[1])
+        return np.concatenate([emb_h, emb_w], axis=1)
+
+    got = sincos_pos_embed_2d(32, 8, 8)
+    want = upstream(32, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # the two halves genuinely differ off the h==w diagonal (guards against
+    # a swapped concat silently passing on symmetric inputs)
+    assert not np.allclose(got[:, :16], got[:, 16:])

@@ -230,3 +230,37 @@ def test_converter_maps_torchvision_layout(tiny_raft):
     ):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_corr_lookup_channel_order_matches_princeton():
+    """Formula-verbatim oracle for the (2r+1)^2 correlation-window channel
+    enumeration. princeton-vl/torchvision CorrBlock builds
+    ``delta = meshgrid(dy, dx)`` ('ij') and adds ``delta[..., 0]`` — the SLOW
+    window axis — to the x coordinate, so channel k = a*(2r+1)+b samples
+    corr at (x + off[a], y + off[b]). The learned convc1 weights depend on
+    exactly this order; a transposed enumeration feeds them permuted
+    neighborhoods (regression: the original implementation enumerated x on
+    the fast axis)."""
+    from univst_tpu.models.raft import _corr_lookup
+
+    rng = np.random.default_rng(0)
+    b, h, w, r = 1, 6, 7, 2
+    n = b * h * w
+    corr = rng.standard_normal((n, h, w)).astype(np.float32)
+    # integer coords with >= r margin: bilinear == exact, no padding effects
+    cx = rng.integers(r, w - r, (b, h, w)).astype(np.float32)
+    cy = rng.integers(r, h - r, (b, h, w)).astype(np.float32)
+    coords = jnp.asarray(np.stack([cx, cy], -1))
+
+    got = np.asarray(_corr_lookup([jnp.asarray(corr)], coords, r))
+    got = got.reshape(n, (2 * r + 1) ** 2)
+
+    offs = np.arange(-r, r + 1)
+    cxf, cyf = cx.reshape(n).astype(int), cy.reshape(n).astype(int)
+    k = 0
+    for a in range(2 * r + 1):       # x-offset: slow axis (princeton delta[...,0])
+        for bb in range(2 * r + 1):  # y-offset: fast axis
+            want = corr[np.arange(n), cyf + offs[bb], cxf + offs[a]]
+            np.testing.assert_allclose(got[:, k], want, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"channel {k} (a={a}, b={bb})")
+            k += 1

@@ -43,8 +43,14 @@ def main(args):
     first_small = np.asarray(first.resize((fw, fh), Image.NEAREST))
     if first_small.ndim == 3:
         first_small = first_small[..., 0]
-    n_cls = int(first_small.max()) + 1
-    seg0 = to_one_hot(jnp.asarray(first_small), n_cls)
+    # Compact the label values: a conventional {0, 255} binary mask must be
+    # a 2-class problem, not 256 one-hot planes (a ~128x memory/compute
+    # blowup at 512px). Background 0 always keeps class 0, so the final
+    # label != 0 binarization is unchanged for any input encoding.
+    classes = np.unique(np.concatenate([[0], first_small.ravel()]))
+    compact = np.searchsorted(classes, first_small)
+    n_cls = len(classes)
+    seg0 = to_one_hot(jnp.asarray(compact), n_cls)
 
     cfg = MaskPropConfig(
         temperature=args.temperature,

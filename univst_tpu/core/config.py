@@ -36,6 +36,15 @@ class StyleShiftConfig:
       * 'sd3' : idx >= eta1*N and idx <= eta2*N            (sd3 pnp_utils.py:183)
     The sd3 reference beta formula crashes on a nonexistent ``self.thresh2``
     (sd3 pnp_utils.py:186); we implement the evidently intended eta2 form.
+
+    ``num_steps`` stays at the preset 50 even when the CLIs run a different
+    ``--time_steps``: all three reference backbones hardcode the literal
+    ``* 50`` in their window/beta formulas (sd pnp_utils.py:47-50,
+    ad pnp_utils.py:45-48, sd3 pnp_utils.py:183-186) regardless of their
+    user-settable step count — scaling it here would *break* parity. The
+    phase-split optimization reads window_end() off the same constants, so
+    at non-50 step counts it simply stays conservative (no dead-branch cut
+    past a window that never closes), which is exact.
     """
 
     alpha: float

@@ -21,7 +21,17 @@ COLLECTIVE_OPS = (
 _HEAD_RE = re.compile(
     r"= (.*?)\b(" + "|".join(COLLECTIVE_OPS) + r")(?:-start)?\("
 )
-_SHAPE_RE = re.compile(r"(bf16|f32|f16|s32|u32|pred)\[([0-9,]+)\]")
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1,
+    "f8e4m3fn": 1, "f8e5m2": 1, "f8e4m3": 1, "f8e3m4": 1,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+    "f32": 4, "s32": 4, "u32": 4,
+    "f64": 8, "s64": 8, "u64": 8, "c64": 8,
+    "c128": 16,
+}
+_SHAPE_RE = re.compile(
+    r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([0-9,]*)\]"
+)
 
 
 def collect_collectives(hlo_text: str) -> list:
@@ -37,7 +47,8 @@ def collect_collectives(hlo_text: str) -> list:
         for dt, dims in _SHAPE_RE.findall(m.group(1)):
             n = 1
             for d in dims.split(","):
-                n *= int(d)
-            sz += n * (2 if dt in ("bf16", "f16") else 4)
+                if d:  # scalar shapes print as dtype[]
+                    n *= int(d)
+            sz += n * _DTYPE_BYTES[dt]
         out.append((m.group(2), sz, line.strip()))
     return out

@@ -116,9 +116,16 @@ def sincos_pos_embed_2d(dim: int, grid_h: int, grid_w: int) -> np.ndarray:
     gh = np.arange(grid_h, dtype=np.float64)
     gw = np.arange(grid_w, dtype=np.float64)
     grid = np.meshgrid(gw, gh)  # w first, matching diffusers
-    emb_h = one_axis(dim // 2, grid[1])
+    # Channel-half order quirk: diffusers/MAE get_2d_sincos_pos_embed_from_grid
+    # names its first half "emb_h" but feeds it grid[0] — which after
+    # meshgrid(grid_w, grid_h) is the W coordinate. Pretrained SD3 weights
+    # therefore expect [w-embedding | h-embedding], and the converter discards
+    # the checkpoint's own pos_embed buffer (convert.py) — so this order is
+    # load-bearing for checkpoint parity (pinned by a formula-verbatim oracle
+    # in tests/test_mmdit.py).
     emb_w = one_axis(dim // 2, grid[0])
-    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    emb_h = one_axis(dim // 2, grid[1])
+    return np.concatenate([emb_w, emb_h], axis=1).astype(np.float32)
 
 
 class RMSNorm(nn.Module):

@@ -142,8 +142,15 @@ def _corr_lookup(pyramid, coords, radius: int):
     n = b * h * w
     out = []
     r = radius
-    dx, dy = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1))
-    offsets = jnp.asarray(np.stack([dx, dy], -1).reshape(-1, 2), jnp.float32)
+    # Channel-enumeration quirk: princeton-vl/torchvision CorrBlock builds
+    # delta = meshgrid(dy, dx) ('ij') and adds delta[..., 0] — the SLOW axis —
+    # to the x coordinate, so the flattened (2r+1)^2 correlation channels
+    # enumerate the x-offset slowest. The learned convc1 weights are trained
+    # against that order; match it exactly (pinned by a formula-verbatim
+    # oracle in tests/test_raft.py).
+    ox, oy = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
+                         indexing="ij")
+    offsets = jnp.asarray(np.stack([ox, oy], -1).reshape(-1, 2), jnp.float32)
     flat = coords.reshape(n, 2)
     for lvl, c in enumerate(pyramid):
         ctr = flat / (2.0**lvl)

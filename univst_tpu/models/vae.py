@@ -134,12 +134,15 @@ class SpatioTemporalResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, num_frames: int):
         h = VAEResnetBlock(self.out_channels, self.groups, self.dtype, name="spatial")(x)
-        if num_frames > 1:
-            ht = TemporalResnetBlock(
-                self.out_channels, self.groups, self.dtype, name="temporal"
-            )(h, num_frames)
-            h = AlphaBlender(self.dtype, name="time_mixer")(h, ht)
-        return h
+        # Applied at EVERY frame count, matching diffusers
+        # SpatioTemporalResBlock: a zero-padded temporal conv over one frame
+        # is w[center]*x + b, NOT identity, so skipping it at F=1 would
+        # diverge from the reference decoder under real weights (and change
+        # the param tree between F=1 and F>1 builds).
+        ht = TemporalResnetBlock(
+            self.out_channels, self.groups, self.dtype, name="temporal"
+        )(h, num_frames)
+        return AlphaBlender(self.dtype, name="time_mixer")(h, ht)
 
 
 class VAEAttention(nn.Module):
@@ -236,8 +239,10 @@ class Decoder(nn.Module):
         x = GroupNorm(g, eps=1e-6, dtype=self.dtype, name="norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
-        if temporal and num_frames > 1:
-            # time_conv_out: frame-axis conv on the free [B, F, H*W, C] view
+        if temporal:
+            # time_conv_out: frame-axis conv on the free [B, F, H*W, C] view;
+            # applied at every frame count (diffusers TemporalDecoder applies
+            # it unconditionally — see TemporalResBlock note above)
             f = num_frames
             n, hh, ww, c = x.shape
             b = n // f

@@ -463,10 +463,9 @@ class SDVideoPipeline:
             seg = range(s0, s0 + c)
             if cfg.smoother is None:
                 latents = _stylize_chunk_capture(
-                    self, self.unet_params,
-                    content_traj_rev[s0 : s0 + c], style_traj_rev[s0 : s0 + c],
-                    latents, steps_np[s0 : s0 + c], ts_np[s0 : s0 + c],
-                    context3, mask, cfg, scfg,
+                    self, self.unet_params, content_traj_rev, style_traj_rev,
+                    latents, ts_np[:k1], s0, context3, mask, cfg, scfg,
+                    c, k1,
                 )
             elif cfg.smoother == "pixel" and any(
                 smooth_lo <= i < smooth_hi for i in seg
@@ -657,9 +656,10 @@ def _stylize_chunk(pipe, unet_params, content_chunk, style_chunk, latents,
     )
 
 
-@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg"))
-def _stylize_chunk_capture(pipe, unet_params, content_chunk, style_chunk,
-                           latents, steps, ts, context3, mask, cfg, style_cfg):
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg", "chunk", "n"))
+def _stylize_chunk_capture(pipe, unet_params, content_full, style_full,
+                           latents, ts_full, s0, context3, mask, cfg,
+                           style_cfg, chunk, n):
     """Capture-and-inject decomposition of the legacy 3-branch segment: per
     step, run the style branch alone (F rows, capturing its PnP K/V), then the
     2-branch [content | stylized] batch with that K/V injected. Exact — the
@@ -673,7 +673,12 @@ def _stylize_chunk_capture(pipe, unet_params, content_chunk, style_chunk,
     row axis cannot be branch-aligned on 2^k shards (48 rows / 8 shards = 6,
     misaligned with branch boundaries at 16/32), which makes GSPMD all-gather
     the full activation at every branch-chunking reshape — measured 11 GB per
-    3-branch step at 512px/16f; the [F] + [2F] calls shard cleanly."""
+    3-branch step at 512px/16f; the [F] + [2F] calls shard cleanly.
+
+    ``content_full``/``style_full``/``ts_full`` arrive UNSLICED with ``s0`` a
+    host int: all per-segment slicing runs in-graph (an eager slice of a
+    device array is a ~30-50 ms remote dispatch through the TPU tunnel —
+    same pattern as _stylize_chunk_solo)."""
     from univst_tpu.models.unet_sd import extract_pnp_kv
 
     context2 = jnp.concatenate([context3[:1], context3[2:3]], axis=0)
@@ -701,9 +706,14 @@ def _stylize_chunk_capture(pipe, unet_params, content_chunk, style_chunk,
         eps, _ = denoise(x2, t, i, style_kv=kv)
         return eps
 
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a[:n], s0, chunk, axis=0)
+
+    steps = sl(jax.lax.iota(jnp.int32, n))
     return style_transfer_ddim_steps(
-        denoise2, content_chunk, style_chunk, latents.astype(jnp.float32),
-        steps, ts, pipe.schedule, cfg, mask=mask, capture=True,
+        denoise2, sl(content_full), sl(style_full),
+        latents.astype(jnp.float32), steps, sl(ts_full),
+        pipe.schedule, cfg, mask=mask, capture=True,
     )
 
 

@@ -26,6 +26,10 @@ def _raw_chunk(num_steps: int, default: int = 13) -> int:
     batch 13-26 per dispatch while SD3 at 1024px (~8 s/step) must stay small.
     """
     raw = os.environ.get("UNIVST_EXEC_CHUNK")
+    if raw is not None and int(raw) < 1:
+        raise ValueError(
+            f"UNIVST_EXEC_CHUNK={raw!r} must be a positive step count"
+        )
     if raw is None and jax.default_backend() not in ("tpu", "axon"):
         return num_steps
     return min(int(raw) if raw else default, num_steps)
