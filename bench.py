@@ -90,7 +90,14 @@ def main():
         help="comma-separated extra workload families to measure and attach "
              "under extra.families (ad,sd3); each runs as a subprocess after "
              "the headline benchmark")
+    ap.add_argument(
+        "--platform", default=None,
+        help="force a jax platform (cpu for local smoke runs; the "
+             "JAX_PLATFORMS env var does not override this machine's "
+             "sitecustomize)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # One dispatch per phase (26 multi-branch steps, then 24 stylized-only):
     # a 26-step segment executes in ~11 s, well under the TPU tunnel's ~2 min
@@ -156,8 +163,11 @@ def main():
     fps = frames / best
 
     # ---- secondary: inversion steps/sec (content inversion workload) -------
+    inv_traj = {}
+
     def run_inv():
         traj, _ = pipe.invert(content_rev[0], context, num_steps=steps, is_opt=True)
+        inv_traj["traj"] = traj
         return np.asarray(traj[-1])
 
     t0 = time.time()
@@ -166,6 +176,26 @@ def main():
     t0 = time.time()
     run_inv()
     inv_steps_per_sec = steps / (time.time() - t0)
+
+    # ---- secondary: inversion -> reconstruction roundtrip fidelity ---------
+    # The reference's own implicit oracle (inversion_tools/ddim_inversion.py:
+    # 38-42: invert, sample back with the same schedule) run at the bench's
+    # real scale every round — a standing regression gate for kernel or
+    # precision changes (VERDICT r3 #5a). Latent-space PSNR; weights are
+    # random but the roundtrip property is weight-independent.
+    recon_psnr = None
+    try:
+        from univst_tpu.utils.metrics import psnr as _psnr
+
+        rec = np.asarray(
+            pipe.reconstruct_latents(inv_traj["traj"][-1], context,
+                                     num_steps=steps),
+            np.float64,
+        )
+        z0 = np.asarray(content_rev[0], np.float64)
+        recon_psnr = _psnr(z0, rec, data_range=float(z0.max() - z0.min()))
+    except Exception as e:
+        print(f"# recon gate failed: {e!r}", file=sys.stderr)
 
     # ---- secondary: effective TFLOPS / MFU of the stylization loop ---------
     # Matmul/conv FLOPs counted from the traced jaxpr (utils/flops.py) — the
@@ -231,6 +261,8 @@ def main():
         "vs_baseline": round(fps / REF_BASELINE_FPS, 4),
         "extra": {
             "inversion_steps_per_sec": round(inv_steps_per_sec, 3),
+            "recon_latent_psnr_db": None if recon_psnr is None
+            else round(recon_psnr, 2),
             "stylize_run_s": round(best, 2),
             "effective_tflops": None if eff_tflops is None else round(eff_tflops, 1),
             "mfu": None if mfu is None else round(mfu, 3),
