@@ -1,0 +1,109 @@
+"""Fused-video-kernel tuning sweep at the SD3 joint-attention shape.
+
+The SD3 1024px step (4.26 s measured, ~2 s speed-of-light) spends most of
+its time in 24 layers of joint attention running through
+``video_flash_attention`` at [b=2, f=16, h=24, L=4096, dh=64] with slots
+('first', -1, 0) plus a 333-token context step.  This sweeps the kernel's
+(block_q, block_k, chain-count) space at exactly that shape, scan-amortized
+(ITERS iterations inside one jit so the ~28 ms tunnel RTT amortizes), and
+prints useful-TFLOPS per config so `joint_video_attention` can pin the
+winner.  Usage: python scripts/bench_sd3_attn_tune.py [--iters 8]
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from univst_tpu.attention.ops import resolve_frame_indices
+from univst_tpu.attention.pallas_attention import video_flash_attention
+
+IDX = ("first", -1, 0)
+
+
+def useful_flops(b, f, h, l, dh, lc_valid, idx):
+    """QK+PV flops over the ELIDED slot set + the ctx step (the kernel's
+    useful math; padding dh 64->128 doubles the executed count)."""
+    srcs = np.stack(resolve_frame_indices(idx, f), axis=1)
+    uniq = sum(len(set(srcs[fi])) for fi in range(f))  # summed slots over frames
+    s_tokens = uniq * l / f + lc_valid
+    return 4.0 * b * f * h * l * s_tokens * dh
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--solo", action="store_true",
+                    help="also sweep the phase-2 solo shape (b=1)")
+    args = ap.parse_args()
+    print(f"device={jax.devices()[0]}")
+
+    f, h, l, dh, lc = 16, 24, 4096, 64, 333
+    key = jax.random.PRNGKey(0)
+    batches = (2, 1) if args.solo else (2,)
+    for b in batches:
+        kq, kk, kv2, kc1, kc2 = jax.random.split(jax.random.fold_in(key, b), 5)
+        q = jax.random.normal(kq, (b, f, h, l, dh), jnp.bfloat16)
+        k = jax.random.normal(kk, (b, f, h, l, dh), jnp.bfloat16)
+        v = jax.random.normal(kv2, (b, f, h, l, dh), jnp.bfloat16)
+        ck = jax.random.normal(kc1, (b, f, h, lc, dh), jnp.bfloat16)
+        cv = jax.random.normal(kc2, (b, f, h, lc, dh), jnp.bfloat16)
+        flops = useful_flops(b, f, h, l, dh, lc, IDX)
+
+        def bench(bq, bk, dual):
+            def att(qx):
+                return video_flash_attention(
+                    qx, k, v, IDX, sm_scale=dh**-0.5, block_q=bq, block_k=bk,
+                    dual=dual, ctx_k=ck, ctx_v=cv, ctx_valid=lc)
+
+            @jax.jit
+            def run(qx):
+                def body(c, _):
+                    o = att(c)
+                    return c + (o[..., :1] * 1e-20).astype(c.dtype), o[0, 0, 0, :1, :1]
+
+                _, ys = jax.lax.scan(body, qx, None, length=args.iters)
+                return ys
+
+            run(q)  # compile
+            best = 1e9
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                np.asarray(jnp.sum(run(q)))
+                best = min(best, time.perf_counter() - t0)
+            per = (best - 0.028) / args.iters
+            print(f"b={b} bq={bq:5d} bk={bk:5d} nch={dual}: "
+                  f"{per*1e3:8.2f} ms/call  {flops/per/1e12:7.1f} useful TFLOPS")
+            return per
+
+        configs = [
+            (4096, 4096, 2),  # current production choice
+            (4096, 4096, 4),
+            (4096, 2048, 2),
+            (4096, 2048, 4),
+            (2048, 2048, 2),
+            (2048, 4096, 2),
+            (4096, 1024, 2),
+            (4096, 4096, 8),
+        ]
+        for bq, bk, dual in configs:
+            try:
+                bench(bq, bk, dual)
+            except Exception as e:  # noqa: BLE001
+                print(f"b={b} bq={bq} bk={bk} nch={dual}: "
+                      f"{type(e).__name__}: {str(e)[:90]}")
+
+
+if __name__ == "__main__":
+    main()
