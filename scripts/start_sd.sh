@@ -7,6 +7,11 @@ PRETRAINED=${PRETRAINED:+--pretrained_model_path $PRETRAINED}
 CONTENT=${CONTENT:-examples/contents/demo-fly}
 STYLE=${STYLE:-examples/styles/00033.png}
 MASK=${MASK:-examples/masks/demo-fly.png}
+# Fresh clones carry no example corpus (the reference bundles real clips we
+# cannot ship); synthesize the compatible demo corpus on first use.
+if [ "$CONTENT" = "examples/contents/demo-fly" ] && [ ! -d "$CONTENT" ]; then
+    python scripts/make_examples.py --root examples
+fi
 NAME=$(basename $CONTENT)
 SNAME=$(basename $STYLE .png)
 

@@ -78,6 +78,9 @@ def test_full_workflow(example_data):
     mask_dir = out / "masks" / "sd" / "mask"
     for i in range(FRAMES):
         assert (mask_dir / ("%05d.png" % i)).exists()
+    # palette-rendered labels (reference palette.txt's intended rendering)
+    pal = Image.open(mask_dir / "palette" / "00001.png")
+    assert pal.mode == "P" and pal.getpalette()[3:6] == [128, 0, 0]
 
     # step 4: localized style transfer
     st.main(st.build_parser().parse_args(common + [

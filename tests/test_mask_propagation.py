@@ -109,3 +109,32 @@ def test_cli_binary_255_mask_matches_01_mask(tmp_path):
         outs[name] = np.stack(frames)
     np.testing.assert_array_equal(outs["m01"], outs["m255"])
     assert set(np.unique(outs["m01"])) <= {0, 255}
+
+
+def test_davis_palette_and_rendering(tmp_path):
+    """davis_palette() reproduces the reference src/palette.txt table
+    (spot-checked rows incl. the 191-for-192 DAVIS variant and the
+    grayscale tail) and save_palette_mask writes P-mode PNGs whose pixel
+    values are the label ids."""
+    from PIL import Image
+
+    from univst_tpu.utils.io import davis_palette, save_palette_mask
+
+    pal = davis_palette()
+    assert pal.shape == (256, 3)
+    expected = {
+        0: (0, 0, 0), 1: (128, 0, 0), 2: (0, 128, 0), 8: (64, 0, 0),
+        9: (191, 0, 0), 18: (0, 191, 0), 21: (128, 64, 128),
+        22: (22, 22, 22), 255: (255, 255, 255),
+    }
+    for idx, rgb in expected.items():
+        assert tuple(pal[idx]) == rgb, idx
+
+    labels = np.zeros((8, 8), np.uint8)
+    labels[2:5, 3:6] = 1
+    p = tmp_path / "lab.png"
+    save_palette_mask(labels, str(p))
+    img = Image.open(p)
+    assert img.mode == "P"
+    np.testing.assert_array_equal(np.asarray(img), labels)
+    assert img.getpalette()[3:6] == [128, 0, 0]

@@ -3,7 +3,10 @@
 Rebuild of src/mask_propagation.py:141-155 with identical flags and output
 layout: reads the captured decoder feature map, propagates the first-frame
 mask, writes {output}/{backbone}/{name}/%05d.png binary masks ({0, 255}),
-frame 0 being a copy of the input mask."""
+frame 0 being a copy of the input mask. Additionally (--save_palette,
+default on) writes DAVIS-palette label PNGs under {out}/palette/ — the
+visual rendering the reference's src/palette.txt load
+(mask_propagation.py:22-26) was meant for but never applies."""
 
 from __future__ import annotations
 
@@ -25,8 +28,9 @@ def main(args):
         MaskPropConfig,
         propagate_masks,
         to_one_hot,
-        upsample_and_binarize,
+        upsample_labels,
     )
+    from univst_tpu.utils.io import save_palette_mask
 
     name = os.path.basename(args.mask_path).split(".")[0]
     out_dir = os.path.join(args.output_path, args.backbone, name)
@@ -62,9 +66,21 @@ def main(args):
         jnp.asarray(feats.reshape(f, fh * fw, c)), seg0, cfg,
         key=jax.random.PRNGKey(0),
     )
-    masks = np.asarray(upsample_and_binarize(segs, (fh, fw), (ori_h, ori_w)))
+    labels = np.asarray(upsample_labels(segs, (fh, fw), (ori_h, ori_w)))
+    # decompact labels back to the input mask's original values so palette
+    # colors match the source annotation's ids
+    orig_labels = classes[labels]
+    masks = np.where(labels != 0, 255, 0).astype(np.uint8)
+    pal_dir = os.path.join(out_dir, "palette") if args.save_palette else None
+    if pal_dir:
+        os.makedirs(pal_dir, exist_ok=True)
+        save_palette_mask(
+            classes[compact].astype(np.uint8), os.path.join(pal_dir, "00000.png")
+        )
     for i in range(min(args.num_frames - 1, masks.shape[0])):
         Image.fromarray(masks[i]).save(os.path.join(out_dir, "%05d.png" % (i + 1)))
+        if pal_dir:
+            save_palette_mask(orig_labels[i], os.path.join(pal_dir, "%05d.png" % (i + 1)))
     print(f"done -> {out_dir}")
 
 
@@ -80,6 +96,13 @@ def build_parser():
     p.add_argument("--feature_path", type=str, default=None)
     p.add_argument("--output_path", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument(
+        "--save_palette",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="also write DAVIS-palette label PNGs under {out}/palette/ "
+        "(the reference loads src/palette.txt for this but never applies it)",
+    )
     return p
 
 

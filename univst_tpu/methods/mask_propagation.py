@@ -163,14 +163,20 @@ def to_one_hot(seg, n_classes: int):
     return jax.nn.one_hot(flat, n_classes, dtype=jnp.float32).T
 
 
-def upsample_and_binarize(segs, feat_hw: Tuple[int, int], out_hw: Tuple[int, int]):
-    """[F-1, n_cls, T] -> list of [H, W] uint8 {0, 255} masks (reference
-    :60-69: bilinear upsample, per-class min-max norm, argmax, binarize)."""
+def upsample_labels(segs, feat_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    """[F-1, n_cls, T] -> [F-1, H, W] uint8 argmax label maps (reference
+    :60-65: bilinear upsample, per-class min-max norm, argmax)."""
     fh, fw = feat_hw
     oh, ow = out_hw
     n = segs.shape[0]
     m = segs.reshape(n, -1, fh, fw)
     m = jax.image.resize(m, (n, m.shape[1], oh, ow), "bilinear")
     m = jax.vmap(norm_mask)(m)
-    labels = jnp.argmax(m, axis=1)
+    return jnp.argmax(m, axis=1).astype(jnp.uint8)
+
+
+def upsample_and_binarize(segs, feat_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    """[F-1, n_cls, T] -> list of [H, W] uint8 {0, 255} masks (reference
+    :60-69: bilinear upsample, per-class min-max norm, argmax, binarize)."""
+    labels = upsample_labels(segs, feat_hw, out_hw)
     return jnp.where(labels != 0, 255, 0).astype(jnp.uint8)

@@ -88,6 +88,40 @@ def load_mask(mask_path: str, n_frames: int = 16) -> np.ndarray:
     return np.stack(masks)
 
 
+def davis_palette(n: int = 256) -> np.ndarray:
+    """The 256-entry DAVIS-2017 segmentation colormap, ``[n, 3]`` uint8.
+
+    The reference ships this exact table as ``src/palette.txt`` and loads it
+    in ``src/mask_propagation.py:22-26`` (where it is actually dead code —
+    the masks are saved as plain {0,255} L-mode PNGs, :66-69). We generate
+    the identical table instead of shipping the file: rows 0-21 follow the
+    PASCAL-VOC bit-reversal recipe with the DAVIS variant's 191-for-192
+    second-bit value, rows 22+ are grayscale ``(i, i, i)``. Used for the
+    optional palette-rendered mask output (``--save_palette``) so propagated
+    labels can be compared visually against reference-style artifacts.
+    """
+    pal = np.zeros((n, 3), np.uint8)
+    for i in range(min(n, 22)):
+        cid, rgb = i, [0, 0, 0]
+        for j in range(8):
+            for ch in range(3):
+                rgb[ch] |= ((cid >> ch) & 1) << (7 - j)
+            cid >>= 3
+        pal[i] = [191 if v == 192 else v for v in rgb]
+    for i in range(22, n):
+        pal[i] = (i, i, i)
+    return pal
+
+
+def save_palette_mask(labels: np.ndarray, path: str) -> None:
+    """Save an integer label map ``[H, W]`` as a P-mode PNG rendered through
+    the DAVIS palette (the visual form the reference's ``palette.txt`` was
+    meant for)."""
+    img = Image.fromarray(labels.astype(np.uint8), mode="P")
+    img.putpalette(davis_palette().ravel().tolist())
+    img.save(path)
+
+
 def save_frames(frames: np.ndarray, path: str) -> None:
     """Save ``[F, H, W, 3]`` fp32 in [0, 1] as ``%05d.png`` (reference
     src/util.py:22-31 ``save_folder``)."""
