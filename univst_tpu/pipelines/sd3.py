@@ -119,6 +119,15 @@ class SD3VideoPipeline:
             tcfg = T5Config.tiny(d_model=mcfg.joint_attention_dim)
             max_seq = 16
 
+        if mcfg.capture_block is not None and not (
+            0 <= mcfg.capture_block < mcfg.num_layers
+        ):
+            raise ValueError(
+                f"--ft_indices {mcfg.capture_block} is outside this model's "
+                f"{mcfg.num_layers} transformer blocks (reference default 20 "
+                "assumes the 24-block SD3-medium; pick a block that exists)"
+            )
+
         mmdit = MMDiT(mcfg, dtype=dtype)
         vae = AutoencoderKL(vcfg, dtype=dtype)
         clip_l = CLIPTextModel(lcfg, dtype=dtype)
