@@ -199,3 +199,45 @@ def test_sd3_pipeline_full_stylize_on_dp_tp_mesh():
 
     out_inv = meshed.invert(init, ctx, pooled, num_steps=steps)[0]
     np.testing.assert_allclose(np.asarray(out_inv), ref_inv, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multihost_mesh_layout_and_execution():
+    """Simulated 2-host x 4-device pod layout (VERDICT r3 #8): the tensor
+    axis must stay inside one host (its all-reduces ride ICI), the data
+    axis crosses hosts (only frame-0 broadcast + halo traffic on DCN), and
+    a sharded computation on the mesh runs correctly."""
+    from univst_tpu.distributed.mesh import make_multihost_mesh, parse_mesh_spec
+
+    mesh = make_multihost_mesh(n_data=4, n_tensor=2, devices_per_host=4)
+    assert mesh.shape == {"data": 4, "tensor": 2}
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)  # host-major truth
+    host_of = {d: h for h in range(2) for d in devs[h]}
+    # each tensor row is intra-host
+    for row in mesh.devices:
+        assert len({host_of[d] for d in row}) == 1
+    # the data axis spans both hosts
+    assert {host_of[d] for d in mesh.devices[:, 0]} == {0, 1}
+
+    x = jnp.arange(8.0).reshape(4, 2)
+    y = jax.jit(
+        lambda a: a * 2,
+        in_shardings=NamedSharding(mesh, P("data", "tensor")),
+    )(x)
+    np.testing.assert_allclose(np.asarray(y), np.arange(8.0).reshape(4, 2) * 2)
+
+    # CLI spec surface: hosts=H routes to the multi-host layout
+    m2 = parse_mesh_spec("data=4,tensor=2,hosts=2")
+    assert (np.asarray(m2.devices) == np.asarray(mesh.devices)).all()
+    with pytest.raises(ValueError):
+        make_multihost_mesh(n_data=2, n_tensor=8, devices_per_host=4)
+
+
+def test_multihost_mesh_rejects_bad_splits():
+    from univst_tpu.distributed.mesh import make_multihost_mesh
+
+    with pytest.raises(ValueError):
+        make_multihost_mesh(n_data=3, n_tensor=1,
+                            devices=jax.devices()[:8], devices_per_host=4)
+    with pytest.raises(ValueError):
+        make_multihost_mesh(devices=jax.devices()[:6], devices_per_host=4)

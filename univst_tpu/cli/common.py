@@ -20,6 +20,12 @@ def setup_jax(platform: Optional[str] = None, cache_dir: str = "/tmp/univst_jax_
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    # multi-host pods: one-time jax.distributed.initialize() before the
+    # backend starts (no-op unless JAX_COORDINATOR_ADDRESS/UNIVST_MULTIHOST
+    # is set — a v5e-8 is single-host and needs none of this)
+    from univst_tpu.distributed.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     if not os.environ.get("PYTEST_CURRENT_TEST"):
         # Leave the test harness's cache policy alone: the full suite runs
         # with persistent-cache WRITES disabled (tests/conftest.py — jaxlib's
