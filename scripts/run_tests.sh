@@ -28,12 +28,21 @@ fi
 
 if [ "$mode" = slow ] || [ "$mode" = all ]; then
   run "slow: e2e workflows" -m slow tests/test_e2e_tiny.py
+  run "slow: checkpoint fire drill" -m slow tests/test_fire_drill.py
   run "slow: distributed + comm + singleton" -m slow \
     tests/test_distributed.py tests/test_comm_pattern.py \
     tests/test_style_singleton.py
   run "slow: models + methods" -m slow \
     tests/test_raft.py tests/test_unet_ad.py tests/test_unet_sd.py \
     tests/test_style_transfer.py tests/test_mmdit.py
+  # remainder shard: any slow test not named above (catches new slow files
+  # so they cannot silently fall out of the sharded runner)
+  run "slow: remainder" -m slow tests/ \
+    --ignore=tests/test_e2e_tiny.py --ignore=tests/test_fire_drill.py \
+    --ignore=tests/test_distributed.py --ignore=tests/test_comm_pattern.py \
+    --ignore=tests/test_style_singleton.py --ignore=tests/test_raft.py \
+    --ignore=tests/test_unet_ad.py --ignore=tests/test_unet_sd.py \
+    --ignore=tests/test_style_transfer.py --ignore=tests/test_mmdit.py
 fi
 
 exit $rc
