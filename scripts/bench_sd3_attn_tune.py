@@ -88,7 +88,7 @@ def main():
             return per
 
         configs = [
-            (4096, 4096, 2),  # current production choice
+            (4096, 4096, 2),  # round-3 production choice (split ctx-q form)
             (4096, 4096, 4),
             (4096, 2048, 2),
             (4096, 2048, 4),
@@ -102,6 +102,51 @@ def main():
                 bench(bq, bk, dual)
             except Exception as e:  # noqa: BLE001
                 print(f"b={b} bq={bq} bk={bk} nch={dual}: "
+                      f"{type(e).__name__}: {str(e)[:90]}")
+
+        # merged [img | ctx | pad] q stream (the round-4 joint_video_attention
+        # form): ctx queries ride full q blocks, no second KV sweep. The extra
+        # 179 pad rows are counted as overhead, not useful flops.
+        cq = jax.random.normal(jax.random.fold_in(key, 7 + b),
+                               (b, f, h, lc, dh), jnp.bfloat16)
+        qj = jnp.concatenate([q, cq], axis=3)
+        lq_pad = -(-(l + lc) // 512) * 512
+        qj = jnp.pad(qj, ((0, 0), (0, 0), (0, 0), (0, lq_pad - (l + lc)), (0, 0)))
+        flops_m = useful_flops(b, f, h, l, dh, lc, IDX) * (l + lc) / l
+
+        def bench_merged(bq, bk, dual):
+            def att(qx):
+                return video_flash_attention(
+                    qx, k, v, IDX, sm_scale=dh**-0.5, block_q=bq, block_k=bk,
+                    dual=dual, ctx_k=ck, ctx_v=cv, ctx_valid=lc)
+
+            @jax.jit
+            def run(qx):
+                def body(c, _):
+                    o = att(c)
+                    return c + (o[..., :1] * 1e-20).astype(c.dtype), o[0, 0, 0, :1, :1]
+
+                _, ys = jax.lax.scan(body, qx, None, length=args.iters)
+                return ys
+
+            run(qj)
+            best = 1e9
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                np.asarray(jnp.sum(run(qj)))
+                best = min(best, time.perf_counter() - t0)
+            per = (best - 0.028) / args.iters
+            print(f"b={b} MERGED lq={lq_pad} bq={bq:5d} bk={bk:5d} nch={dual}: "
+                  f"{per*1e3:8.2f} ms/call  {flops_m/per/1e12:7.1f} useful TFLOPS")
+
+        for bq, bk, dual in ((2304, 4096, 2), (2304, 2048, 2), (2304, 4096, 4),
+                             (1536, 4096, 2), (4608, 4096, 2), (1152, 4096, 2)):
+            if lq_pad % bq:
+                continue
+            try:
+                bench_merged(bq, bk, dual)
+            except Exception as e:  # noqa: BLE001
+                print(f"b={b} MERGED bq={bq} bk={bk} nch={dual}: "
                       f"{type(e).__name__}: {str(e)[:90]}")
 
 

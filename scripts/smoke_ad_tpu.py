@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--json", action="store_true",
                     help="print one machine-readable JSON result line "
                          "(consumed by bench.py --families)")
+    ap.add_argument("--prepass", type=int, default=0,
+                    help="batch the style capture forwards for N steps into "
+                         "one call (_stylize_chunk_prepass); 0 = per-step")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -42,6 +45,9 @@ def main():
         variant="ad", num_frames=args.frames, height=args.size,
         width=args.size, seed=0,
     )
+    if args.prepass:
+        import dataclasses
+        pipe = dataclasses.replace(pipe, style_prepass_chunk=args.prepass)
     print(f"build: {time.time()-t0:.1f}s")
     h8 = args.size // 8
     key = jax.random.PRNGKey(0)

@@ -294,3 +294,36 @@ def test_ad_capture_inject_matches_3branch():
             mask, cfg, c, steps,
         )
     np.testing.assert_allclose(out_new, np.asarray(lat), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_ad_prepass_matches_per_step_capture():
+    """The batched style pre-pass (_stylize_chunk_prepass: one [chunk*F]-row
+    capture forward per segment) == the per-step capture path
+    (_stylize_chunk_capture). Motion-module PEs vary per frame, not per step,
+    and every per-video op sees num_frames-row groups, so steps batch as
+    extra videos exactly."""
+    from univst_tpu.pipelines.animatediff import build_animatediff
+
+    f, size, steps = 4, 64, 4
+    pipe = build_animatediff(
+        variant="tiny", num_frames=f, height=size, width=size, dtype=jnp.float32
+    )
+    rng = np.random.default_rng(11)
+    h8 = size // 8
+    content = jnp.asarray(rng.standard_normal((steps + 1, f, h8, h8, 4)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((steps + 1, f, h8, h8, 4)), jnp.float32)
+    init = jnp.asarray(rng.standard_normal((f, h8, h8, 4)), jnp.float32)
+    mask = jnp.asarray((rng.random((f, size, size)) > 0.5).astype(np.float32))
+    ctx3 = jnp.concatenate([pipe.encode_text("")] * 3, axis=0)
+    cfg = StyleTransferConfig(num_steps=steps)
+
+    out_capture = np.asarray(
+        pipe.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    )
+    # chunk 3 over a 4-step window exercises both the full and the tail chunk
+    pipe_pre = dataclasses.replace(pipe, style_prepass_chunk=3)
+    out_prepass = np.asarray(
+        pipe_pre.stylize_latents(content, style, init, ctx3, mask=mask, cfg=cfg)
+    )
+    np.testing.assert_allclose(out_prepass, out_capture, rtol=1e-5, atol=1e-5)

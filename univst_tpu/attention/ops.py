@@ -293,6 +293,17 @@ def largest_divisor_block(l: int, cap: int = 4096) -> int:
     return max(bs for bs in (4096, 2048, 1024, 512, 256, 128) if bs <= cap and l % bs == 0)
 
 
+def q_block_for(lq_pad: int, cap: int = 4096) -> int:
+    """Largest q-block <= ``cap`` dividing ``lq_pad``, including the 3*2^k
+    sizes the merged [img | ctx] joint-query lengths pad to (SD3 at 1024px:
+    4096 + 333 -> 4608 = 2 x 2304). All candidates are lane-width multiples."""
+    return max(
+        bs
+        for bs in (4096, 2304, 2048, 1536, 1152, 1024, 768, 512, 384, 256, 128)
+        if bs <= cap and lq_pad % bs == 0
+    )
+
+
 def video_mha(q, k, v, num_heads: int, num_frames: int,
               frame_indices: Sequence[FrameIndex], scale: float | None = None):
     """Sparse-causal video attention on pre-head ``[B*F, L, D]`` tensors.
@@ -401,27 +412,54 @@ def joint_video_attention(q, k, v, num_frames: int,
     dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
     blk = largest_divisor_block(n)
     sm = float(dh**-0.5 if scale is None else scale)
-    kw = dict(sm_scale=sm, block_q=blk, block_k=blk)
-    ctx_kw = {}
-    if has_ctx:
-        ctx_kw = dict(ctx_k=r5(ck).astype(dt), ctx_v=r5(cv).astype(dt),
-                      ctx_valid=ck.shape[2])
-    out_i = video_flash_attention(
-        r5(q).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
-        tuple(frame_indices), **kw, **ctx_kw,
-    )
     if not has_ctx:
+        out_i = video_flash_attention(
+            r5(q).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+            tuple(frame_indices), sm_scale=sm, block_q=blk, block_k=blk,
+        )
         return out_i.reshape(bf, nh, n, dh).astype(q.dtype)
+    ctx_kw = dict(ctx_k=r5(ck).astype(dt), ctx_v=r5(cv).astype(dt),
+                  ctx_valid=ck.shape[2])
+    if os.environ.get("UNIVST_SD3_SPLIT_CTX_Q"):
+        # Legacy two-call form (kept for A/B benching): image queries at full
+        # blocks, then the short context queries as a second call. The second
+        # call re-sweeps the ENTIRE joint KV per layer for ~333 q rows — tiny
+        # q blocks at low MXU efficiency plus a duplicate KV read.
+        out_i = video_flash_attention(
+            r5(q).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+            tuple(frame_indices), sm_scale=sm, block_q=blk, block_k=blk,
+            **ctx_kw,
+        )
+        nc = cq.shape[2]
+        nc_pad = -(-nc // 128) * 128
+        cq_p = jnp.pad(cq, ((0, 0), (0, 0), (0, nc_pad - nc), (0, 0)))
+        out_c = video_flash_attention(
+            r5(cq_p).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+            tuple(frame_indices), sm_scale=sm, block_q=nc_pad, block_k=blk,
+            **ctx_kw,
+        )[:, :, :, :nc]
+        out = jnp.concatenate([out_i, out_c], axis=3)
+        return out.reshape(bf, nh, n + nc, dh).astype(q.dtype)
+    # Merged call: the context-token queries ride the same q stream as the
+    # image tokens ([img | ctx | pad] rows per frame). Every joint-attention
+    # query attends the identical KV set (img slots + own-frame ctx), so the
+    # concat is purely a q-side layout change; the padded tail rows attend
+    # real KV and are sliced off. This removes the second full-KV sweep and
+    # runs the ctx rows inside full-size q blocks (measured: the split form's
+    # short call cost far more than its 8% FLOP share).
     nc = cq.shape[2]
-    nc_pad = -(-nc // 128) * 128
-    cq_p = jnp.pad(cq, ((0, 0), (0, 0), (0, nc_pad - nc), (0, 0)))
-    out_c = video_flash_attention(
-        r5(cq_p).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
-        tuple(frame_indices), sm_scale=sm, block_q=nc_pad, block_k=blk,
-        **ctx_kw,
-    )[:, :, :, :nc]
-    out = jnp.concatenate([out_i, out_c], axis=3)
-    return out.reshape(bf, nh, n + nc, dh).astype(q.dtype)
+    lq = n + nc
+    align = 512 if lq >= 1024 else 128
+    lq_pad = -(-lq // align) * align
+    qj = jnp.concatenate([q, cq], axis=2)
+    if lq_pad != lq:
+        qj = jnp.pad(qj, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    out = video_flash_attention(
+        r5(qj).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+        tuple(frame_indices), sm_scale=sm, block_q=q_block_for(lq_pad),
+        block_k=blk, **ctx_kw,
+    )
+    return out.reshape(bf, nh, lq_pad, dh)[:, :, :lq].astype(q.dtype)
 
 
 def mha(q, k, v, num_heads: int, scale: float | None = None):

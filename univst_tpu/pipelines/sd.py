@@ -76,6 +76,13 @@ class SDVideoPipeline:
     # Lucas-Kanade pyramid; set to make_raft_flow(params) for RAFT (the
     # reference smoother's flow, src/cal_optica_flow.py:53-54)
     flow_fn: Optional[object] = None
+    # Non-singleton (AnimateDiff) phase-1 alternative: batch the style
+    # branch's capture forwards for this many steps into ONE [chunk*F]-row
+    # call before the 2-branch scan (motion-module PEs vary per frame, not
+    # per step, so extra steps batch as extra videos — exact). None = the
+    # default per-step capture inside the scan (_stylize_chunk_capture).
+    # HBM bounds the chunk: the captured PnP K/V is ~440 MB/step at 512px/16f.
+    style_prepass_chunk: Optional[int] = None
     # device mesh for multi-chip serving (set via with_mesh): the frame axis
     # shards over the 'data' axis, params replicate, and XLA's SPMD
     # partitioner inserts the collectives (frame-0 broadcast + halo permutes
@@ -462,11 +469,20 @@ class SDVideoPipeline:
         for s0, c in phase1:
             seg = range(s0, s0 + c)
             if cfg.smoother is None:
-                latents = _stylize_chunk_capture(
-                    self, self.unet_params, content_traj_rev, style_traj_rev,
-                    latents, ts_np[:k1], s0, context3, mask, cfg, scfg,
-                    c, k1,
-                )
+                pc = self.style_prepass_chunk
+                if pc:
+                    for t0 in range(s0, s0 + c, pc):
+                        latents = _stylize_chunk_prepass(
+                            self, self.unet_params, content_traj_rev,
+                            style_traj_rev, latents, ts_np[:k1], t0, context3,
+                            mask, cfg, scfg, min(pc, s0 + c - t0), k1,
+                        )
+                else:
+                    latents = _stylize_chunk_capture(
+                        self, self.unet_params, content_traj_rev, style_traj_rev,
+                        latents, ts_np[:k1], s0, context3, mask, cfg, scfg,
+                        c, k1,
+                    )
             elif cfg.smoother == "pixel" and any(
                 smooth_lo <= i < smooth_hi for i in seg
             ):
@@ -714,6 +730,73 @@ def _stylize_chunk_capture(pipe, unet_params, content_full, style_full,
         denoise2, sl(content_full), sl(style_full),
         latents.astype(jnp.float32), steps, sl(ts_full),
         pipe.schedule, cfg, mask=mask, capture=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("pipe", "cfg", "style_cfg", "chunk", "n"))
+def _stylize_chunk_prepass(pipe, unet_params, content_full, style_full,
+                           latents, ts_full, s0, context3, mask, cfg,
+                           style_cfg, chunk, n):
+    """Batched-capture variant of :func:`_stylize_chunk_capture`: the style
+    branch's PnP K/V for all ``chunk`` steps of this segment are computed in
+    ONE [chunk*F]-row forward before the scan, then the 2-branch
+    [content | stylized] scan consumes per-step K/V slices.
+
+    Exact vs the per-step capture: AnimateDiff's motion-module positional
+    encodings vary per FRAME, not per step, and every per-row op (2D convs,
+    per-frame GroupNorm, spatial attention) is batch-local while the
+    per-video ops (temporal attention) see ``num_frames``-row groups — so
+    steps batch as extra videos. The timestep embedding is per-video
+    (UNetAnimateDiff broadcasts timestep to batch//num_frames rows).
+
+    FLOPs are identical to the per-step form; the candidate win is MXU/batch
+    efficiency of one [chunk*F]-row forward vs ``chunk`` [F]-row forwards.
+    HBM bounds ``chunk``: the captured K/V of the 8 PnP layers is ~440 MB per
+    step at 512px/16f (see SDVideoPipeline.style_prepass_chunk)."""
+    from univst_tpu.models.unet_sd import extract_pnp_kv
+
+    f = pipe.num_frames
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a[:n], s0, chunk, axis=0)
+
+    style_seg = sl(style_full)          # [chunk, F, h, w, C]
+    ts_seg = sl(jnp.asarray(ts_full))   # [chunk]
+    vctx = VideoCtx(
+        num_frames=f,
+        frame_indices=pipe.base_frame_indices,
+        pnp_frame_indices=pipe.pnp_frame_indices,
+        mesh=pipe.mesh,
+    )
+    sctx_cap = StyleCtx(step_idx=jnp.zeros((), jnp.int32), cfg=style_cfg,
+                        capture=True)
+    rows = style_seg.reshape((chunk * f,) + style_seg.shape[2:])
+    ctx_sty = jnp.broadcast_to(
+        context3[1:2], (chunk * f,) + context3.shape[1:]
+    )
+    _, state = pipe.unet.apply(
+        {"params": unet_params}, rows.astype(pipe.dtype), ts_seg,
+        ctx_sty.astype(pipe.dtype), vctx, sctx_cap, mutable=["pnp_kv"],
+    )
+    kv_all = jax.tree_util.tree_map(
+        lambda a: a.reshape((chunk, f) + a.shape[1:]),
+        extract_pnp_kv(state["pnp_kv"]),
+    )
+
+    context2 = jnp.concatenate([context3[:1], context3[2:3]], axis=0)
+    denoise = pipe._denoise_fn(unet_params, context2, pipe.pnp_frame_indices,
+                               style_cfg)
+
+    def denoise2(x2, t, i, kv_t):
+        # kv_t leaves are [F, L, D] — the same injected-KV layout the
+        # per-step capture produces (extract_pnp_kv on an F-row forward)
+        eps, _ = denoise(x2, t, i, style_kv=kv_t)
+        return eps
+
+    steps = sl(jax.lax.iota(jnp.int32, n))
+    return style_transfer_ddim_steps(
+        denoise2, sl(content_full), style_seg, latents.astype(jnp.float32),
+        steps, ts_seg, pipe.schedule, cfg, mask=mask, style_kv=kv_all,
     )
 
 
