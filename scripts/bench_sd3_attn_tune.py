@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--solo", action="store_true",
                     help="also sweep the phase-2 solo shape (b=1)")
+    ap.add_argument("--full", action="store_true",
+                    help="sweep the full split-form config list too (each "
+                         "config pays ~30-60s of relay compile/upload)")
     args = ap.parse_args()
     print(f"device={jax.devices()[0]}")
 
@@ -89,14 +92,17 @@ def main():
 
         configs = [
             (4096, 4096, 2),  # round-3 production choice (split ctx-q form)
-            (4096, 4096, 4),
-            (4096, 2048, 2),
-            (4096, 2048, 4),
-            (2048, 2048, 2),
-            (2048, 4096, 2),
-            (4096, 1024, 2),
-            (4096, 4096, 8),
         ]
+        if args.full:
+            configs += [
+                (4096, 4096, 4),
+                (4096, 2048, 2),
+                (4096, 2048, 4),
+                (2048, 2048, 2),
+                (2048, 4096, 2),
+                (4096, 1024, 2),
+                (4096, 4096, 8),
+            ]
         for bq, bk, dual in configs:
             try:
                 bench(bq, bk, dual)
