@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="sweep the full split-form config list too (each "
                          "config pays ~30-60s of relay compile/upload)")
+    ap.add_argument("--merged", default=None,
+                    help="semicolon-separated bq,bk,nch triples for the "
+                         "merged-form sweep (overrides the built-in list); "
+                         "'-' skips the split-form configs entirely")
     args = ap.parse_args()
     print(f"device={jax.devices()[0]}")
 
@@ -65,21 +69,24 @@ def main():
         flops = useful_flops(b, f, h, l, dh, lc, IDX)
 
         def bench(bq, bk, dual):
-            def att(qx):
-                return video_flash_attention(
-                    qx, k, v, IDX, sm_scale=dh**-0.5, block_q=bq, block_k=bk,
-                    dual=dual, ctx_k=ck, ctx_v=cv, ctx_valid=lc)
-
+            # NOTE: k/v/ctx MUST be jit ARGUMENTS, not closure captures — a
+            # capture becomes a 400 MB module constant and the relay rejects
+            # the compile upload (HTTP 413). And instead of a lax.scan, chain
+            # ITERS async dispatches through a data dependency (output feeds
+            # the next q) and sync once; the device runs them back-to-back,
+            # so the RTT amortizes the same.
             @jax.jit
+            def att(qx, kx, vx, ckx, cvx):
+                return video_flash_attention(
+                    qx, kx, vx, IDX, sm_scale=dh**-0.5, block_q=bq, block_k=bk,
+                    dual=dual, ctx_k=ckx, ctx_v=cvx, ctx_valid=lc)
+
             def run(qx):
-                def body(c, _):
-                    o = att(c)
-                    return c + (o[..., :1] * 1e-20).astype(c.dtype), o[0, 0, 0, :1, :1]
+                for _ in range(args.iters):
+                    qx = att(qx, k, v, ck, cv)
+                return qx
 
-                _, ys = jax.lax.scan(body, qx, None, length=args.iters)
-                return ys
-
-            run(q)  # compile
+            np.asarray(jnp.sum(run(q)))  # compile
             best = 1e9
             for _ in range(args.reps):
                 t0 = time.perf_counter()
@@ -87,12 +94,15 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             per = (best - 0.028) / args.iters
             print(f"b={b} bq={bq:5d} bk={bk:5d} nch={dual}: "
-                  f"{per*1e3:8.2f} ms/call  {flops/per/1e12:7.1f} useful TFLOPS")
+                  f"{per*1e3:8.2f} ms/call  {flops/per/1e12:7.1f} useful TFLOPS",
+                  flush=True)
             return per
 
         configs = [
             (4096, 4096, 2),  # round-3 production choice (split ctx-q form)
         ]
+        if args.merged is not None:
+            configs = []
         if args.full:
             configs += [
                 (4096, 4096, 4),
@@ -121,21 +131,18 @@ def main():
         flops_m = useful_flops(b, f, h, l, dh, lc, IDX) * (l + lc) / l
 
         def bench_merged(bq, bk, dual):
-            def att(qx):
-                return video_flash_attention(
-                    qx, k, v, IDX, sm_scale=dh**-0.5, block_q=bq, block_k=bk,
-                    dual=dual, ctx_k=ck, ctx_v=cv, ctx_valid=lc)
-
             @jax.jit
+            def att(qx, kx, vx, ckx, cvx):
+                return video_flash_attention(
+                    qx, kx, vx, IDX, sm_scale=dh**-0.5, block_q=bq, block_k=bk,
+                    dual=dual, ctx_k=ckx, ctx_v=cvx, ctx_valid=lc)
+
             def run(qx):
-                def body(c, _):
-                    o = att(c)
-                    return c + (o[..., :1] * 1e-20).astype(c.dtype), o[0, 0, 0, :1, :1]
+                for _ in range(args.iters):
+                    qx = att(qx, k, v, ck, cv)
+                return qx
 
-                _, ys = jax.lax.scan(body, qx, None, length=args.iters)
-                return ys
-
-            run(qj)
+            np.asarray(jnp.sum(run(qj)))
             best = 1e9
             for _ in range(args.reps):
                 t0 = time.perf_counter()
@@ -143,10 +150,17 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             per = (best - 0.028) / args.iters
             print(f"b={b} MERGED lq={lq_pad} bq={bq:5d} bk={bk:5d} nch={dual}: "
-                  f"{per*1e3:8.2f} ms/call  {flops_m/per/1e12:7.1f} useful TFLOPS")
+                  f"{per*1e3:8.2f} ms/call  {flops_m/per/1e12:7.1f} useful TFLOPS",
+                  flush=True)
 
-        for bq, bk, dual in ((2304, 4096, 2), (2304, 2048, 2), (2304, 4096, 4),
-                             (1536, 4096, 2), (4608, 4096, 2), (1152, 4096, 2)):
+        merged_configs = ((2304, 4096, 2), (2304, 2048, 2), (2304, 4096, 4),
+                          (1536, 4096, 2), (4608, 4096, 2), (1152, 4096, 2))
+        if args.merged not in (None, "-"):
+            merged_configs = tuple(
+                tuple(int(t) for t in c.split(","))
+                for c in args.merged.split(";") if c
+            )
+        for bq, bk, dual in merged_configs:
             if lq_pad % bq:
                 continue
             try:
