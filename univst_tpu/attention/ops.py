@@ -454,10 +454,16 @@ def joint_video_attention(q, k, v, num_frames: int,
     qj = jnp.concatenate([q, cq], axis=2)
     if lq_pad != lq:
         qj = jnp.pad(qj, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    bq = q_block_for(lq_pad)
+    # 4 chains measured fastest at the SD3 joint shape for both batch forms
+    # (bench_sd3_attn_tune --solo --merged: b=2 132.0 vs 133.6 ms/call,
+    # b=1 65.7 vs 66.4 at bq=2304) — more independent softmax chains hide
+    # more VPU time under MXU work
+    nch = 4 if bq % 4 == 0 else 2
     out = video_flash_attention(
         r5(qj).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
-        tuple(frame_indices), sm_scale=sm, block_q=q_block_for(lq_pad),
-        block_k=blk, **ctx_kw,
+        tuple(frame_indices), sm_scale=sm, block_q=bq,
+        block_k=blk, dual=nch, **ctx_kw,
     )
     return out.reshape(bf, nh, lq_pad, dh)[:, :, :lq].astype(q.dtype)
 
