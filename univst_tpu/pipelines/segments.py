@@ -47,26 +47,23 @@ def phase_segments(n: int, window_end: int, default: int = 13):
     """Split the n-step loop at the shift window for the dead-branch cut.
 
     Returns (phase1_segments, phase2_segments): lists of (start, length).
-    Phase 1 (multi-branch) covers at least [0, window_end); phase 2 runs the
-    stylized-only batch. Segment lengths are uniform within a phase so each
-    phase compiles exactly one graph; both respect the exec-chunk watchdog
-    bound. window_end >= n disables the split.
+    Phase 1 (multi-branch) covers EXACTLY [0, window_end): full chunks plus
+    one shorter remainder segment when the chunk does not divide the window
+    (the remainder is a second compiled graph for phase 1, but one wasted
+    multi-branch step costs ~2x a stylized-only step every run — e.g. the
+    SD3 window of 31 under chunk 4 used to round up to 32 capture+inject
+    steps). Phase 2 runs the stylized-only batch with the largest divisor
+    chunk of its own length. Both respect the exec-chunk watchdog bound.
+    window_end >= n disables the split.
     """
     if window_end >= n or os.environ.get("UNIVST_DISABLE_PHASE_SPLIT"):
         c = exec_chunk(n, default)
         return [(s0, c) for s0 in range(0, n, c)], []
-    # Each phase picks its own chunk, so the raw (non-divisor) bound applies:
-    # phase 1 rounds the window up to whole chunks (the extra steps are
-    # correct — the gate is simply False — just not yet elided); phase 2 takes
-    # the largest divisor of its own length.
     c = _raw_chunk(n, default)
-    k1 = min(n, -(-window_end // c) * c)
+    k1 = max(0, min(n, window_end))
+    segs1 = [(s0, c) for s0 in range(0, k1 - k1 % c, c)]
+    if k1 % c:
+        segs1.append((k1 - k1 % c, k1 % c))
     k2 = n - k1
-    if k2 == 0:
-        c = exec_chunk(n, default)
-        return [(s0, c) for s0 in range(0, n, c)], []
     c2 = max(d for d in range(1, min(c, k2) + 1) if k2 % d == 0)
-    return (
-        [(s0, c) for s0 in range(0, k1, c)],
-        [(s0, c2) for s0 in range(k1, n, c2)],
-    )
+    return segs1, [(s0, c2) for s0 in range(k1, n, c2)]
