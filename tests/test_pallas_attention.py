@@ -82,6 +82,33 @@ def test_video_flash_ctx_kv_matches_naive(dh, lc, unroll):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("dh", [40, 64, 80])  # SD 64x64 / SD3 / SD 32x32 head dims
+@pytest.mark.parametrize("with_ctx", [False, True])
+def test_video_flash_narrow_qk_matches_naive(dh, with_ctx):
+    """narrow_qk keeps q/k at the real head dim (padded to the sublane
+    quantum only) instead of the 128-lane pad — the QK contraction over the
+    zero pad lanes contributes nothing, so results must be identical; v keeps
+    the 128-lane pad for the PV output and the in-acc softmax-sum lane."""
+    rng = np.random.default_rng(5)
+    b, f, h, l, lc = 1, 4, 2, 256, 77
+    shp = (b, f, h, l, dh)
+    q, k, v = (jnp.asarray(rng.standard_normal(shp), jnp.float32)
+               for _ in range(3))
+    kw = {}
+    ck = cv = None
+    if with_ctx:
+        ck, cv = (jnp.asarray(rng.standard_normal((b, f, h, lc, dh)),
+                              jnp.float32) for _ in range(2))
+        kw = dict(ctx_k=ck, ctx_v=cv)
+    got = np.asarray(
+        video_flash_attention(q, k, v, ("first", -1, 0), block_q=128,
+                              block_k=128, dual=4, narrow_qk=True,
+                              interpret=True, **kw)
+    )
+    want = _naive(q, k, v, ("first", -1, 0), ctx_k=ck, ctx_v=cv)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_ctx_unroll_must_divide_padded_length():
     rng = np.random.default_rng(4)
     b, f, h, l, dh = 1, 2, 1, 384, 32

@@ -416,6 +416,7 @@ def joint_video_attention(q, k, v, num_frames: int,
         out_i = video_flash_attention(
             r5(q).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
             tuple(frame_indices), sm_scale=sm, block_q=blk, block_k=blk,
+            narrow_qk=True,
         )
         return out_i.reshape(bf, nh, n, dh).astype(q.dtype)
     ctx_kw = dict(ctx_k=r5(ck).astype(dt), ctx_v=r5(cv).astype(dt),
@@ -454,16 +455,23 @@ def joint_video_attention(q, k, v, num_frames: int,
     qj = jnp.concatenate([q, cq], axis=2)
     if lq_pad != lq:
         qj = jnp.pad(qj, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
-    bq = q_block_for(lq_pad)
-    # 4 chains measured fastest at the SD3 joint shape for both batch forms
-    # (bench_sd3_attn_tune --solo --merged: b=2 132.0 vs 133.6 ms/call,
-    # b=1 65.7 vs 66.4 at bq=2304) — more independent softmax chains hide
-    # more VPU time under MXU work
+    # v5e sweep at the SD3 joint shape (bench_sd3_attn_tune --solo --merged,
+    # narrow-qk kernel): one full-length q block with half-size kv blocks
+    # (4608, 2048, nch=4) measures best — 126.4/62.95 ms/call (b=2/b=1) vs
+    # 132.1/66.1 for (2304, 4096, 4); a full-q block halves the KV re-read
+    # traffic (nq=1) and bk=2048 keeps the logit blocks pipeline-friendly
+    # (4608x4096 fp32 blocks measured 27% SLOWER — VMEM pressure).
+    if lq_pad <= 4608:
+        bq = lq_pad
+        blk = min(blk, max(2048, blk // 2))
+    else:
+        bq = q_block_for(lq_pad)
+    # 4 independent softmax chains hide more VPU time under MXU work than 2
     nch = 4 if bq % 4 == 0 else 2
     out = video_flash_attention(
         r5(qj).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
         tuple(frame_indices), sm_scale=sm, block_q=bq,
-        block_k=blk, dual=nch, **ctx_kw,
+        block_k=blk, dual=nch, narrow_qk=True, **ctx_kw,
     )
     return out.reshape(bf, nh, lq_pad, dh)[:, :, :lq].astype(q.dtype)
 

@@ -191,6 +191,7 @@ def video_flash_attention(
     block_q: int = 1024, block_k: int = 1024, unroll: int | None = None,
     dual: bool | None = None, interpret: bool = False,
     ctx_k=None, ctx_v=None, ctx_valid: int | None = None,
+    narrow_qk: bool | None = None,
 ):
     """Attention where each frame's KV is the concat of the frames selected by
     ``frame_indices`` — computed WITHOUT materializing the expanded KV.
@@ -226,11 +227,30 @@ def video_flash_attention(
     # of 128 keeps the VPU row-sum instead of padding a whole extra tile.
     dh_pad = max(128, ((dh + 127) // 128) * 128)
     sum_lane = dh if dh < dh_pad else None
+    # narrow_qk: keep q/k at a sub-lane-width head dim (padded only to the
+    # fp32 sublane quantum, 8) instead of the full 128 lanes. The QK matmul
+    # contracts over dh — the pad lanes are zeros and contribute nothing —
+    # so narrow blocks halve the q/k HBM traffic (and the pad-copy writes)
+    # at dh=64 and let Mosaic issue a shallower MXU contraction. v keeps the
+    # 128-lane pad: the PV output width and the in-acc softmax-sum lane both
+    # need it. Opt-in via UNIVST_NARROW_QK=1 until measured on every shape.
+    if narrow_qk is None:
+        import os
+
+        narrow_qk = sum_lane is not None and os.environ.get(
+            "UNIVST_NARROW_QK", "0"
+        ) == "1"
+    dh_qk = -(-dh // 8) * 8 if narrow_qk else dh_pad
+    if dh_qk != dh:
+        qk_pad = ((0, 0),) * 4 + ((0, dh_qk - dh),)
+        q, k = jnp.pad(q, qk_pad), jnp.pad(k, qk_pad)
+        if has_ctx:
+            ctx_k = jnp.pad(ctx_k, qk_pad)
     if dh_pad != dh:
         pad = ((0, 0),) * 4 + ((0, dh_pad - dh),)
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        v = jnp.pad(v, pad)
         if has_ctx:
-            ctx_k, ctx_v = jnp.pad(ctx_k, pad), jnp.pad(ctx_v, pad)
+            ctx_v = jnp.pad(ctx_v, pad)
     if sum_lane is not None:
         # ones at the sum lane (jnp.pad can't write a single lane; one cheap
         # fused update)
@@ -276,7 +296,7 @@ def video_flash_attention(
                 continue  # duplicate of an earlier slot -> dropped
             mult[fi, sj] = int((srcs[fi] == srcs[fi, sj]).sum())
 
-    qv = q.reshape(b * f * h, lq, dh_pad)
+    qv = q.reshape(b * f * h, lq, dh_qk)
 
     def q_map(ibfh, iq, ikv, srcs_ref, mult_ref):
         return (ibfh, iq, 0)
@@ -295,13 +315,13 @@ def video_flash_attention(
         return (ibfh, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, bq, dh_pad), q_map),
-        pl.BlockSpec((1, bk, dh_pad), kv_map),
+        pl.BlockSpec((1, bq, dh_qk), q_map),
+        pl.BlockSpec((1, bk, dh_qk), kv_map),
         pl.BlockSpec((1, bk, dh_pad), kv_map),
     ]
     if has_ctx:
         in_specs += [
-            pl.BlockSpec((1, lc, dh_pad), ctx_map),
+            pl.BlockSpec((1, lc, dh_qk), ctx_map),
             pl.BlockSpec((1, lc, dh_pad), ctx_map),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -333,11 +353,11 @@ def video_flash_attention(
     )
     operands = [
         jnp.asarray(srcs, jnp.int32), jnp.asarray(mult, jnp.int32), qv,
-        k.reshape(b * f * h, l, dh_pad), v.reshape(b * f * h, l, dh_pad),
+        k.reshape(b * f * h, l, dh_qk), v.reshape(b * f * h, l, dh_pad),
     ]
     if has_ctx:
         operands += [
-            ctx_k.reshape(b * f * h, lc, dh_pad),
+            ctx_k.reshape(b * f * h, lc, dh_qk),
             ctx_v.reshape(b * f * h, lc, dh_pad),
         ]
     out = pl.pallas_call(
