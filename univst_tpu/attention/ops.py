@@ -348,7 +348,11 @@ def video_mha(q, k, v, num_heads: int, num_frames: int,
             split(q).astype(dt), split(k).astype(dt), split(v).astype(dt),
             tuple(frame_indices),
             sm_scale=float(dh**-0.5 if scale is None else scale),
-            block_q=blk, block_k=blk,
+            # narrow_qk measured at the production SD/AD shapes (dh=40,
+            # L=4096, b16/b32, 2- and 3-src; scripts/bench_sd_narrow_qk.py
+            # on v5e): 4.5-6.1% faster per call, exact (interpret-mode
+            # kernel tests cover dh=40 narrow).
+            block_q=blk, block_k=blk, narrow_qk=True,
         ).astype(q.dtype)
         return out.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
     if frame_indices:
