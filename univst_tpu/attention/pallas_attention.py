@@ -240,6 +240,15 @@ def video_flash_attention(
         narrow_qk = sum_lane is not None and os.environ.get(
             "UNIVST_NARROW_QK", "0"
         ) == "1"
+    # Hard gate (regardless of caller/env): the narrow block's minor dim is
+    # the sublane-rounded head dim; a minor dim >128 that is not a multiple
+    # of 128 is the layout class Mosaic does not support (same rule as
+    # _flash_eligible, ops.py). dh=160 would give 160-lane q/k blocks —
+    # fall back to the full 256-lane pad, which is safe.
+    if narrow_qk:
+        dh_sub = -(-dh // 8) * 8
+        if dh_sub > 128 and dh_sub % 128 != 0:
+            narrow_qk = False
     dh_qk = -(-dh // 8) * 8 if narrow_qk else dh_pad
     if dh_qk != dh:
         qk_pad = ((0, 0),) * 4 + ((0, dh_qk - dh),)
