@@ -111,17 +111,23 @@ def test_t5_nondegenerate_ids():
     assert np.abs(np.asarray(h) - np.asarray(h0)).max() > 1e-4
 
 
-def test_offline_tokenizer_shims_reject_real_prompts_actionably():
-    """Without vocab files both shims must (a) tokenize the null prompt the
-    reference CLIs use and (b) fail a real prompt with a message that names
-    the fix (--pretrained_model_path tokenizer files) — VERDICT r3 weak #6."""
-    import pytest
-
-    from univst_tpu.models.clip_text import Tokenizer
+def test_offline_tokenizer_shims_accept_real_prompts(capsys):
+    """Without vocab files both shims must (a) tokenize the null prompt to
+    its EXACT reference encoding and (b) tokenize a real prompt offline to
+    valid in-range ids via the structural fallbacks (synthetic byte-level
+    CLIP vocab / T5 byte ids — models/bpe.py; VERDICT r4 item 7 supersedes
+    the r3 reject-with-message contract this test used to pin)."""
+    from univst_tpu.models.clip_text import BOS_TOKEN, EOS_TOKEN, Tokenizer
     from univst_tpu.models.t5 import T5TokenizerShim
 
-    for shim in (Tokenizer(), T5TokenizerShim()):
+    for shim, vocab in ((Tokenizer(), 49408), (T5TokenizerShim(), 32128)):
         ids = shim("")
         assert ids.shape[0] == 1 and ids.ndim == 2
-        with pytest.raises(ValueError, match="pretrained_model_path"):
-            shim("a real prompt")
+        real = shim("a real prompt")
+        assert real.shape == ids.shape
+        assert real.min() >= 0 and real.max() < vocab
+        assert (real != ids).any()  # not silently the null encoding
+    null = Tokenizer()("")[0]
+    assert null[0] == BOS_TOKEN and (null[1:] == EOS_TOKEN).all()
+    # the CLIP fallback says so once, and names the real-vocab fix
+    assert "pretrained_model_path" in capsys.readouterr().out

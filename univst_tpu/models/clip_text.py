@@ -166,39 +166,46 @@ class CLIPTextModel(nn.Module):
 
 
 class Tokenizer:
-    """CLIP tokenizer shim.
+    """CLIP tokenizer shim (reference surface: arbitrary ``--prompt``
+    strings, run_content_inversion_sd.py:39).
 
-    * With ``hf_dir`` pointing at an HF checkpoint's ``tokenizer`` folder, uses
-      transformers' CLIPTokenizer (full BPE, offline files).
-    * Without it, supports only the prompts the reference pipelines actually
-      use: the empty string -> [BOS, EOS, EOS, ...] (CLIP pads with EOS).
+    * With ``hf_dir`` pointing at an HF checkpoint's ``tokenizer`` folder,
+      uses the native :class:`~univst_tpu.models.bpe.ClipBPE` on the real
+      ``vocab.json``/``merges.txt`` — ids identical to transformers'
+      CLIPTokenizer (pinned by tests/test_bpe.py).
+    * Without it, the empty prompt keeps its exact encoding
+      ([BOS, EOS, EOS, ...]; CLIP pads with EOS), and non-empty prompts fall
+      back to the synthetic real-structure byte-level vocab (valid in-range
+      ids for any string; semantically meaningful only with synthetic
+      weights — a one-time warning says so).
     """
 
     def __init__(self, hf_dir: Optional[str] = None, max_len: int = MAX_LEN):
         self.max_len = max_len
-        self._tok = None
+        self._bpe = None
+        self._synthetic = hf_dir is None
+        self._warned = False
         if hf_dir is not None:
-            from transformers import CLIPTokenizer as _HFTok
+            from univst_tpu.models.bpe import ClipBPE
 
-            self._tok = _HFTok.from_pretrained(hf_dir)
+            self._bpe = ClipBPE.from_dir(hf_dir)
 
     def __call__(self, prompts) -> np.ndarray:
         if isinstance(prompts, str):
             prompts = [prompts]
-        if self._tok is not None:
-            out = self._tok(
-                prompts, padding="max_length", max_length=self.max_len,
-                truncation=True, return_tensors="np",
-            )
-            return out["input_ids"].astype(np.int32)
-        ids = []
-        for p in prompts:
-            if p.strip():
-                raise ValueError(
-                    "No tokenizer vocabulary available offline; only empty "
-                    "prompts are supported without --pretrained_model_path "
-                    "tokenizer files. Got a non-empty prompt."
+        if self._bpe is None and any(p.strip() for p in prompts):
+            from univst_tpu.models.bpe import ClipBPE
+
+            self._bpe = ClipBPE.synthetic()
+            if not self._warned:
+                print(
+                    "[tokenizer] no checkpoint vocab — non-empty prompts use "
+                    "the synthetic byte-level CLIP vocabulary (structurally "
+                    "valid ids; pass --pretrained_model_path for real-"
+                    "checkpoint token ids)", flush=True,
                 )
-            row = [BOS_TOKEN, EOS_TOKEN] + [EOS_TOKEN] * (self.max_len - 2)
-            ids.append(row)
-        return np.asarray(ids, np.int32)
+                self._warned = True
+        if self._bpe is not None:
+            return self._bpe(prompts, max_len=self.max_len)
+        row = [BOS_TOKEN, EOS_TOKEN] + [EOS_TOKEN] * (self.max_len - 2)
+        return np.asarray([row for _ in prompts], np.int32)

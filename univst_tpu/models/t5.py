@@ -145,13 +145,14 @@ class T5TokenizerShim:
                 truncation=True, return_tensors="np",
             )
             return out["input_ids"].astype(np.int32)
-        ids = []
-        for p in prompts:
-            if p.strip():
-                raise ValueError(
-                    "No T5 vocabulary available offline; only empty "
-                    "prompts are supported without --pretrained_model_path "
-                    "tokenizer files. Got a non-empty prompt."
-                )
-            ids.append([T5_EOS] + [T5_PAD] * (self.max_len - 1))
+        if any(p.strip() for p in prompts):
+            # offline structural fallback: T5's sentencepiece model cannot be
+            # reconstructed without the checkpoint; bytes map into the low id
+            # range (bpe.py t5_byte_fallback_ids — valid ids for synthetic
+            # weights, real checkpoints take the T5TokenizerFast branch)
+            from univst_tpu.models.bpe import t5_byte_fallback_ids
+
+            return t5_byte_fallback_ids(
+                prompts, self.max_len, eos_id=T5_EOS, pad_id=T5_PAD)
+        ids = [[T5_EOS] + [T5_PAD] * (self.max_len - 1) for _ in prompts]
         return np.asarray(ids, np.int32)
