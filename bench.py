@@ -16,9 +16,12 @@ identical frames (a repeated style image) — which the round-2 singleton fast
 path exploits exactly (tests/test_style_singleton.py).
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
-denominator is a documented engineering estimate of the reference pipeline on
-one A100: ~50 steps x batch 48 UNet forwards at fp16 with per-step disk reads
-~= 15 s for 16 frames => ~1.05 frames/sec. See BENCH_NOTES.md.
+denominator is a documented engineering ESTIMATE of the reference pipeline on
+one A100 — an error bar, not a measurement: 0.74 f/s (exact 52.3 TFLOP/step
+jaxpr count at 45% MFU + ~2 s decode) to 1.05 f/s (the deliberately
+reference-favorable 40 TFLOP figure, no decode). The headline vs_baseline
+divides by the favorable 1.05; extra.vs_baseline_range carries both bounds
+(VERDICT r4 item 8). See BENCH_NOTES.md "FLOP accounting".
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -27,7 +30,8 @@ import json
 import sys
 import time
 
-REF_BASELINE_FPS = 1.05  # estimated reference A100 frames/sec (BENCH_NOTES.md)
+REF_BASELINE_FPS = 1.05  # favorable bound of the estimated A100 range (docstring)
+REF_BASELINE_FPS_LO = 0.74  # refined-estimate bound (BENCH_NOTES.md FLOP accounting)
 
 # bf16 peak TFLOPS per chip for MFU accounting
 _PEAK_TFLOPS = {
@@ -106,7 +110,7 @@ def main():
     os.environ.setdefault("UNIVST_EXEC_CHUNK", "26")
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/univst_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -260,6 +264,14 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 4),
         "extra": {
+            # the baseline denominator is an estimate with an error bar, not
+            # a measurement (no GPU exists here): read the headline as
+            # "vs_baseline_range x one A100, >=5x projected on 8 chips"
+            "baseline_fps_range": [REF_BASELINE_FPS_LO, REF_BASELINE_FPS],
+            "vs_baseline_range": [
+                round(fps / REF_BASELINE_FPS, 4),
+                round(fps / REF_BASELINE_FPS_LO, 4),
+            ],
             "inversion_steps_per_sec": round(inv_steps_per_sec, 3),
             "recon_latent_psnr_db": None if recon_psnr is None
             else round(recon_psnr, 2),

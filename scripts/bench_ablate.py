@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 os.environ.setdefault("UNIVST_EXEC_CHUNK", "13")
-jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/univst_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import univst_tpu.models.layers as L

@@ -47,7 +47,7 @@ def main():
 
         jax.config.update("jax_compilation_cache_dir", tempfile.mkdtemp())
     else:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/univst_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_log_compiles", True)
 

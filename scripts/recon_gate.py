@@ -52,7 +52,7 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/univst_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/univst_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp

@@ -8,7 +8,7 @@ from typing import Optional
 import numpy as np
 
 
-def setup_jax(platform: Optional[str] = None, cache_dir: str = "/tmp/univst_jax_cache"):
+def setup_jax(platform: Optional[str] = None, cache_dir: str = "/root/.cache/univst_jax_cache"):
     """Select the JAX platform and enable the persistent compile cache.
 
     On this machine a sitecustomize pins ``jax_platforms='axon,cpu'`` (remote
