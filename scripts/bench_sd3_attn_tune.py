@@ -125,12 +125,17 @@ def main():
         # 179 pad rows are counted as overhead, not useful flops.
         cq = jax.random.normal(jax.random.fold_in(key, 7 + b),
                                (b, f, h, lc, dh), jnp.bfloat16)
-        qj = jnp.concatenate([q, cq], axis=3)
-        lq_pad = -(-(l + lc) // 512) * 512
-        qj = jnp.pad(qj, ((0, 0), (0, 0), (0, 0), (0, lq_pad - (l + lc)), (0, 0)))
+        qj_full = jnp.concatenate([q, cq], axis=3)
         flops_m = useful_flops(b, f, h, l, dh, lc, IDX) * (l + lc) / l
 
-        def bench_merged(bq, bk, dual):
+        def bench_merged(bq, bk, dual, lq_pad=None):
+            if lq_pad is None:
+                lq_pad = -(-(l + lc) // 512) * 512
+            qj = jnp.pad(qj_full, ((0, 0), (0, 0), (0, 0),
+                                   (0, lq_pad - (l + lc)), (0, 0)))
+            if lq_pad % bq:
+                print(f"b={b} MERGED lq={lq_pad} bq={bq}: does not divide")
+                return
             @jax.jit
             def att(qx, kx, vx, ckx, cvx):
                 return video_flash_attention(
@@ -153,6 +158,9 @@ def main():
                   f"{per*1e3:8.2f} ms/call  {flops_m/per/1e12:7.1f} useful TFLOPS",
                   flush=True)
 
+        # configs are bq,bk,nch[,lq_pad] — lq_pad defaults to the 512-aligned
+        # merged length (4608); a tighter pad (e.g. 4448 = 32-aligned) trims
+        # the dead q rows the kernel sweeps
         merged_configs = ((2304, 4096, 2), (2304, 2048, 2), (2304, 4096, 4),
                           (1536, 4096, 2), (4608, 4096, 2), (1152, 4096, 2))
         if args.merged not in (None, "-"):
@@ -160,13 +168,11 @@ def main():
                 tuple(int(t) for t in c.split(","))
                 for c in args.merged.split(";") if c
             )
-        for bq, bk, dual in merged_configs:
-            if lq_pad % bq:
-                continue
+        for cfg_m in merged_configs:
             try:
-                bench_merged(bq, bk, dual)
+                bench_merged(*cfg_m)
             except Exception as e:  # noqa: BLE001
-                print(f"b={b} MERGED bq={bq} bk={bk} nch={dual}: "
+                print(f"b={b} MERGED cfg={cfg_m}: "
                       f"{type(e).__name__}: {str(e)[:90]}")
 
 

@@ -12,6 +12,7 @@ import torch.nn.functional as F
 from univst_tpu.core.adain import (
     attention_adain,
     attention_adain_sd3,
+    attention_adain_sd3_tm,
     latent_adain,
     latent_adain_sd3,
 )
@@ -40,6 +41,22 @@ def test_attention_adain_sd3_matches_torch():
     want = _torch_adain(torch.from_numpy(cnt), torch.from_numpy(sty), dims=[-2]).numpy()
     got = np.asarray(attention_adain_sd3(jnp.asarray(cnt), jnp.asarray(sty)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_attention_adain_sd3_tm_matches_head_major():
+    """The token-major variant ([B, N, H, C], the transpose-free attention
+    layout) must equal the head-major form under a transpose."""
+    rng = np.random.default_rng(11)
+    cnt = rng.standard_normal((4, 3, 24, 8)).astype(np.float32)  # [B, H, N, C]
+    sty = rng.standard_normal((4, 3, 24, 8)).astype(np.float32)
+    want = np.asarray(attention_adain_sd3(jnp.asarray(cnt), jnp.asarray(sty)))
+    got = np.asarray(
+        attention_adain_sd3_tm(
+            jnp.asarray(cnt.transpose(0, 2, 1, 3)),
+            jnp.asarray(sty.transpose(0, 2, 1, 3)),
+        )
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
 def test_latent_adain_matches_torch():

@@ -7,7 +7,10 @@ import numpy as np
 import pytest
 
 from univst_tpu.attention.ops import resolve_frame_indices
-from univst_tpu.attention.pallas_attention import video_flash_attention
+from univst_tpu.attention.pallas_attention import (
+    video_flash_attention,
+    video_flash_attention_folded,
+)
 
 
 def _naive(q, k, v, indices, ctx_k=None, ctx_v=None):
@@ -80,6 +83,47 @@ def test_video_flash_ctx_kv_matches_naive(dh, lc, unroll):
     )
     want = _naive(q, k, v, ("first", -1, 0), ctx_k=ck, ctx_v=cv)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("dh", [32, 64, 128])  # g = 4 / 2 / 1 heads per lane block
+@pytest.mark.parametrize("with_ctx,lc", [(False, 0), (True, 77)])
+@pytest.mark.parametrize("lq_extra", [0, 128])  # merged [img|ctx|pad] q rows
+def test_video_flash_folded_matches_naive(dh, with_ctx, lc, lq_extra):
+    """Token-major folded layout (head groups ride the 128-lane BlockSpec
+    windows — no head transpose) vs the same naive expanded-KV reference.
+    lq_extra exercises a q stream longer than the KV length (SD3's merged
+    [img | ctx | pad] query rows)."""
+    rng = np.random.default_rng(9)
+    b, f, h, l = 1, 4, 4, 256
+    lq = l + lq_extra
+    q = jnp.asarray(rng.standard_normal((b, f, h, lq, dh)), jnp.float32)
+    k, v = (jnp.asarray(rng.standard_normal((b, f, h, l, dh)), jnp.float32)
+            for _ in range(2))
+    kw_c, kw_f = {}, {}
+    ck = cv = None
+    if with_ctx:
+        ck, cv = (jnp.asarray(rng.standard_normal((b, f, h, lc, dh)),
+                              jnp.float32) for _ in range(2))
+        kw_c = dict(ctx_k=ck, ctx_v=cv)
+        kw_f = dict(ctx_k=ck.transpose(0, 1, 3, 2, 4),
+                    ctx_v=cv.transpose(0, 1, 3, 2, 4))
+    got = np.asarray(
+        video_flash_attention_folded(
+            q.transpose(0, 1, 3, 2, 4), k.transpose(0, 1, 3, 2, 4),
+            v.transpose(0, 1, 3, 2, 4), ("first", -1, 0), block_q=128,
+            block_k=128, dual=4, interpret=True, **kw_f,
+        )
+    ).transpose(0, 1, 3, 2, 4)
+    want = np.asarray(
+        video_flash_attention(q, k, v, ("first", -1, 0), block_q=128,
+                              block_k=128, dual=4, interpret=True, **kw_c)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    # and against the torch-free naive reference (full-length q only: the
+    # naive helper assumes lq == l)
+    if not lq_extra:
+        ref = _naive(q, k, v, ("first", -1, 0), ctx_k=ck, ctx_v=cv)
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
 @pytest.mark.parametrize("dh", [40, 64, 80])  # SD 64x64 / SD3 / SD 32x32 head dims

@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from univst_tpu.core.adain import attention_adain, attention_adain_sd3
+from univst_tpu.core.adain import (
+    attention_adain,
+    attention_adain_sd3,
+    attention_adain_sd3_tm,
+)
 from univst_tpu.core.config import FrameIndex, StyleShiftConfig
 
 
@@ -191,9 +195,14 @@ def apply_style_shift_injected(
     return q, k, v
 
 
-def apply_style_shift_sd3(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: int):
+def apply_style_shift_sd3(q, k, v, step_idx, cfg: StyleShiftConfig,
+                          num_frames: int, token_major: bool = False):
     """SD3 variant on per-head ``[3F, heads, N, Dh]`` tensors (after q/k norm;
-    reference: video_diffusion_sd3/pnp_utils.py:181-194)."""
+    reference: video_diffusion_sd3/pnp_utils.py:181-194). ``token_major``
+    switches the AdaIN reduction axes for ``[3F, N, heads, Dh]`` tensors (the
+    transpose-free attention layout); everything else is axis-0 slicing and
+    elementwise math, identical in both layouts."""
+    adain = attention_adain_sd3_tm if token_major else attention_adain_sd3
     f = num_frames
     gate = cfg.window_gate(step_idx)
     beta = cfg.beta(step_idx).astype(jnp.float32)
@@ -203,8 +212,8 @@ def apply_style_shift_sd3(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: 
     v_style, v_sty = v[f : 2 * f], v[2 * f :]
 
     q_new = cfg.gamma * (cfg.alpha * q_cnt + (1.0 - cfg.alpha) * q_sty)
-    k_new = beta * attention_adain_sd3(k_sty, k_style) + (1.0 - beta) * k_style
-    v_new = beta * attention_adain_sd3(v_sty, v_style) + (1.0 - beta) * v_style
+    k_new = beta * adain(k_sty, k_style) + (1.0 - beta) * k_style
+    v_new = beta * adain(v_sty, v_style) + (1.0 - beta) * v_style
 
     q_out = jnp.where(gate, q_new.astype(q.dtype), q_sty)
     k_out = jnp.where(gate, k_new.astype(k.dtype), k_sty)
@@ -217,11 +226,14 @@ def apply_style_shift_sd3(q, k, v, step_idx, cfg: StyleShiftConfig, num_frames: 
 
 
 def apply_style_shift_sd3_injected(
-    q, k, v, style_k, style_v, step_idx, cfg: StyleShiftConfig, num_frames: int
+    q, k, v, style_k, style_v, step_idx, cfg: StyleShiftConfig,
+    num_frames: int, token_major: bool = False,
 ):
     """SD3 2-branch variant on per-head ``[2F, heads, N, Dh]`` tensors with the
     style branch's K/V injected as ``[1, heads, N, Dh]`` (identical style
-    frames run once; see apply_style_shift_injected)."""
+    frames run once; see apply_style_shift_injected). ``token_major``: see
+    :func:`apply_style_shift_sd3`."""
+    adain = attention_adain_sd3_tm if token_major else attention_adain_sd3
     f = num_frames
     gate = cfg.window_gate(step_idx)
     beta = cfg.beta(step_idx).astype(jnp.float32)
@@ -232,8 +244,8 @@ def apply_style_shift_sd3_injected(
     v_style = style_v.astype(jnp.float32)
 
     q_new = cfg.gamma * (cfg.alpha * q_cnt + (1.0 - cfg.alpha) * q_sty)
-    k_new = beta * attention_adain_sd3(k_sty, k_style) + (1.0 - beta) * k_style
-    v_new = beta * attention_adain_sd3(v_sty, v_style) + (1.0 - beta) * v_style
+    k_new = beta * adain(k_sty, k_style) + (1.0 - beta) * k_style
+    v_new = beta * adain(v_sty, v_style) + (1.0 - beta) * v_style
 
     q_out = jnp.where(gate, q_new.astype(q.dtype), q_sty)
     k_out = jnp.where(gate, k_new.astype(k.dtype), k_sty)
@@ -481,6 +493,100 @@ def joint_video_attention(q, k, v, num_frames: int,
         block_k=blk, dual=nch, narrow_qk=True, **ctx_kw,
     )
     return out.reshape(bf, nh, lq_pad, dh)[:, :, :lq].astype(q.dtype)
+
+
+def joint_video_attention_tokens(q, k, v, num_frames: int,
+                                 frame_indices: Sequence[FrameIndex],
+                                 cq=None, ck=None, cv=None,
+                                 scale: float | None = None):
+    """:func:`joint_video_attention` on TOKEN-MAJOR per-head tensors
+    ``[B*F, L, H, dh]`` (= a free reshape of the projection output
+    ``[B*F, L, H*dh]`` — no head transpose).
+
+    On TPU this calls the folded-layout kernel
+    (pallas_attention.video_flash_attention_folded): k/v stream straight from
+    the projection GEMM's layout and the output feeds the out-projection
+    directly, removing the four per-layer [L, H] transposes plus the v
+    128-lane pad copy that the head-major form materializes (~5-6 ms/layer at
+    the SD3 b32 shape). Elsewhere it transposes to head-major and runs the
+    reference expand+concat path (CPU test parity; perf irrelevant there).
+
+    Returns ``[B*F, L(+Lc), H, dh]`` (context rows appended when cq given).
+    """
+    import os
+
+    bf, n, nh, dh = q.shape
+    f = num_frames
+    has_ctx = cq is not None
+    use_kernel = (
+        frame_indices
+        and not os.environ.get("UNIVST_DISABLE_FLASH")
+        and jax.default_backend() in ("tpu", "axon")
+        and n >= 1024
+        and n % 128 == 0
+        and bf % f == 0
+        # folded kernel: whole head groups per 128-lane block
+        and 128 % dh == 0
+        and nh % (128 // dh) == 0
+    )
+    if not use_kernel:
+        hm = lambda x: x.transpose(0, 2, 1, 3)  # noqa: E731
+        out = joint_video_attention(
+            hm(q), hm(k), hm(v), f, frame_indices,
+            cq=hm(cq) if has_ctx else None,
+            ck=hm(ck) if has_ctx else None,
+            cv=hm(cv) if has_ctx else None, scale=scale,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    from univst_tpu.attention.pallas_attention import (
+        video_flash_attention_folded,
+    )
+
+    b = bf // f
+
+    def r5(x):
+        return x.reshape(b, f, x.shape[1], nh, dh)
+
+    dt = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    sm = float(dh**-0.5 if scale is None else scale)
+    # v5e folded-kernel sweep at the SD3 joint shape (/tmp bench, ROUND5_NOTES
+    # table): one full-length q block + bk=1024 + 8 row chains wins —
+    # (4480, 1024, nch8) = 118.0/59.5 ms/call (b2/b1) vs the classic
+    # head-major production form's 126.2/62.8, with the per-layer transposes
+    # gone on top. bk=2048 REGRESSES here (the g*nch fp32 logit blocks blow
+    # scoped VMEM: 156 ms at b2); bk=512 is grid-overhead-bound (187 ms).
+    bkf = largest_divisor_block(n, cap=1024)
+    if not has_ctx:
+        bqf = n if n <= 4608 else q_block_for(n)
+        out = video_flash_attention_folded(
+            r5(q).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+            tuple(frame_indices), sm_scale=sm, block_q=bqf, block_k=bkf,
+            dual=8 if bqf % 64 == 0 else 4,
+        )
+        return out.reshape(bf, n, nh, dh).astype(q.dtype)
+    # merged [img | ctx | pad] q stream (see joint_video_attention): one
+    # token-axis concat+pad is the only copy the folded path pays. 64-aligned
+    # pad (4429 -> 4480, was 4608): the dead q rows are swept like real ones,
+    # and 64-align keeps the 8 row chains sublane-aligned (bq/8 % 8 == 0)
+    nc = cq.shape[1]
+    lq = n + nc
+    align = 64 if lq >= 1024 else 128
+    lq_pad = -(-lq // align) * align
+    qj = jnp.concatenate(
+        [q, cq] + ([jnp.zeros((bf, lq_pad - lq, nh, dh), q.dtype)]
+                   if lq_pad != lq else []),
+        axis=1,
+    )
+    bq = lq_pad if lq_pad <= 4608 else q_block_for(lq_pad)
+    nch = 8 if bq % 64 == 0 else (4 if bq % 4 == 0 else 2)
+    out = video_flash_attention_folded(
+        r5(qj).astype(dt), r5(k).astype(dt), r5(v).astype(dt),
+        tuple(frame_indices), sm_scale=sm, block_q=bq, block_k=bkf,
+        dual=nch, ctx_k=r5(ck).astype(dt), ctx_v=r5(cv).astype(dt),
+        ctx_valid=nc,
+    )
+    return out.reshape(bf, lq_pad, nh, dh)[:, :lq].astype(q.dtype)
 
 
 def mha(q, k, v, num_heads: int, scale: float | None = None):

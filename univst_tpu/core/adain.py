@@ -80,6 +80,21 @@ def attention_adain_sd3(cnt_feat, sty_feat):
     return out.astype(cnt_feat.dtype)
 
 
+def attention_adain_sd3_tm(cnt_feat, sty_feat):
+    """:func:`attention_adain_sd3` on token-major ``[B, N, heads, C]`` tensors
+    (the transpose-free SD3 attention layout — see
+    attention/pallas_attention.py video_flash_attention_folded). Identical
+    math with the reduction axes relabeled: style stats per-(B, heads, C)
+    over N (axis 1), normalization per-(B, heads) over (N, C) = axes (1, 3).
+    Pinned to the head-major form by tests/test_adain.py."""
+    sty = sty_feat.astype(jnp.float32)
+    sty_mean = jnp.mean(sty, axis=1, keepdims=True)
+    sty_std = _std_unbiased(sty, axis=1)
+    normed = _instance_norm(cnt_feat, axis=(1, 3))
+    out = normed * sty_std + sty_mean
+    return out.astype(cnt_feat.dtype)
+
+
 def latent_adain(cnt_feat, sty_feat):
     """Init/anchor latent AdaIN, SD / AnimateDiff variant.
 

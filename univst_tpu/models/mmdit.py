@@ -33,7 +33,7 @@ from univst_tpu.attention.ops import (
     apply_style_shift_sd3_injected,
     apply_style_shift_sd3,
     heads_attention,
-    joint_video_attention,
+    joint_video_attention_tokens,
 )
 from univst_tpu.models.layers import StyleCtx, TimestepEmbedMLP, VideoCtx, timestep_embedding
 
@@ -193,8 +193,12 @@ class JointAttention(nn.Module):
         bf, n, _ = x.shape
         nctx = ctx.shape[1]
 
+        # TOKEN-MAJOR per-head layout [bf, L, H, dh] — a free reshape of the
+        # projection output. The folded attention kernel addresses the head
+        # axis via its BlockSpec index map, so no [L, H] transpose ever
+        # materializes on the q/k/v/out path (joint_video_attention_tokens).
         def split(y):
-            return y.reshape(bf, -1, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+            return y.reshape(bf, -1, c.num_heads, c.head_dim)
 
         q = split(nn.Dense(d, dtype=self.dtype, name="to_q")(x))
         k = split(nn.Dense(d, dtype=self.dtype, name="to_k")(x))
@@ -212,11 +216,12 @@ class JointAttention(nn.Module):
             sk, sv = style_ctx.style_kv["joint"][self.slot]
             q, k, v = apply_style_shift_sd3_injected(
                 q, k, v, sk, sv, style_ctx.step_idx, style_ctx.cfg,
-                video_ctx.num_frames,
+                video_ctx.num_frames, token_major=True,
             )
         elif style_ctx is not None and style_ctx.cfg is not None:
             q, k, v = apply_style_shift_sd3(
-                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
+                q, k, v, style_ctx.step_idx, style_ctx.cfg,
+                video_ctx.num_frames, token_major=True,
             )
         cq = split(nn.Dense(d, dtype=self.dtype, name="add_q_proj")(ctx))
         ck = split(nn.Dense(d, dtype=self.dtype, name="add_k_proj")(ctx))
@@ -230,11 +235,11 @@ class JointAttention(nn.Module):
         # video kernel streams the unexpanded per-frame KV + masked ctx block
         idx = (tuple(video_ctx.frame_indices)
                if video_ctx.is_video and video_ctx.frame_indices else ())
-        out = joint_video_attention(
+        out = joint_video_attention_tokens(
             q, k, v, video_ctx.num_frames if idx else 1, idx,
             cq=cq, ck=ck, cv=cv,
         )
-        out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
+        out = out.reshape(bf, -1, d)
         x_out, ctx_out = out[:, :n], out[:, n:]
         x_out = nn.Dense(d, dtype=self.dtype, name="to_out")(x_out)
         if self.context_pre_only:
@@ -260,8 +265,9 @@ class DualSelfAttention(nn.Module):
         d = c.hidden
         bf = x.shape[0]
 
+        # token-major layout — see JointAttention
         def split(y):
-            return y.reshape(bf, -1, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+            return y.reshape(bf, -1, c.num_heads, c.head_dim)
 
         q = split(nn.Dense(d, dtype=self.dtype, name="to_q")(x))
         k = split(nn.Dense(d, dtype=self.dtype, name="to_k")(x))
@@ -275,18 +281,19 @@ class DualSelfAttention(nn.Module):
             sk, sv = style_ctx.style_kv["dual"][self.slot]
             q, k, v = apply_style_shift_sd3_injected(
                 q, k, v, sk, sv, style_ctx.step_idx, style_ctx.cfg,
-                video_ctx.num_frames,
+                video_ctx.num_frames, token_major=True,
             )
         elif style_ctx is not None and style_ctx.cfg is not None:
             q, k, v = apply_style_shift_sd3(
-                q, k, v, style_ctx.step_idx, style_ctx.cfg, video_ctx.num_frames
+                q, k, v, style_ctx.step_idx, style_ctx.cfg,
+                video_ctx.num_frames, token_major=True,
             )
         idx = (tuple(video_ctx.frame_indices)
                if video_ctx.is_video and video_ctx.frame_indices else ())
-        out = joint_video_attention(
+        out = joint_video_attention_tokens(
             q, k, v, video_ctx.num_frames if idx else 1, idx
         )
-        out = out.transpose(0, 2, 1, 3).reshape(bf, -1, d)
+        out = out.reshape(bf, -1, d)
         return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
 
 
