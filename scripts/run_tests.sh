@@ -40,9 +40,14 @@ fi
 if [ "$mode" = slow ] || [ "$mode" = all ]; then
   run "slow: e2e workflows" -m slow tests/test_e2e_tiny.py
   run "slow: checkpoint fire drill" -m slow tests/test_fire_drill.py
-  run "slow: distributed + comm + singleton" -m slow \
+  # cache WRITES off for this shard: it compiles the most distinct
+  # executables (8-device meshes x 3 families), and a code change that
+  # invalidates the cache walks one process across jaxlib 0.9.0's
+  # ~250-compile executable.serialize() segfault threshold (tests/conftest.py)
+  echo "=== slow: distributed + comm + singleton ==="
+  UNIVST_TEST_NO_CACHE_WRITES=1 python -m pytest -q -m slow \
     tests/test_distributed.py tests/test_comm_pattern.py \
-    tests/test_style_singleton.py
+    tests/test_style_singleton.py || rc=1
   run "slow: models + methods" -m slow \
     tests/test_raft.py tests/test_unet_ad.py tests/test_unet_sd.py \
     tests/test_style_transfer.py tests/test_mmdit.py
