@@ -177,7 +177,14 @@ class GroupNorm(nn.Module):
 
 
 class FeedForwardGEGLU(nn.Module):
-    """GEGLU MLP (diffusers FeedForward with activation_fn='geglu')."""
+    """GEGLU MLP (diffusers FeedForward with activation_fn='geglu').
+
+    NOTE (round-5 negative result): reformulating the exact-erf gelu with a
+    single fp32 round trip (cast once, erf, cast back) did NOT remove the
+    fp32 convert materializations XLA splits around its erf expansion
+    (~670 MB at the AD motion-module 64x64 shape) — same HLO pattern, no
+    measured win — while the changed bf16 rounding order MOVED the committed
+    full-pipeline goldens. jax.nn.gelu stays."""
 
     dim: int
     mult: int = 4

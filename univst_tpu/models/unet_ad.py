@@ -156,16 +156,31 @@ class TemporalSelfAttentionPE(nn.Module):
 
             qx, kx, vx = proj(xt, wq), proj(xt, wk), proj(xt, wv)
             lx = qx.shape[1]
-            qh = qx.reshape(b, f, lx, self.num_heads, dh)
-            kh = kx.reshape(b, f, lx, self.num_heads, dh)
-            vh = vx.reshape(b, f, lx, self.num_heads, dh)
-            # frame attention as a (b, l, h)-batched einsum on the native
-            # layout (no physical transposes)
-            logits = jnp.einsum(
-                "bflhd,bglhd->blhfg", qh, kh, preferred_element_type=jnp.float32
-            ) * (dh**-0.5)
-            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-            out = jnp.einsum("blhfg,bglhd->bflhd", probs, vh).reshape(bf, lx, d)
+
+            # Frame attention as CANONICAL batched matmuls on [B', f, dh]
+            # with B' = b*lx*heads. The earlier "transpose-free" form — a
+            # (b, l, h)-batched einsum on the native [b, f, lx, h, dh]
+            # layout — lowered on TPU as `convolution-base-dilated` ops
+            # (window size=2x4096x8, lhs_dilate=...): XLA's batch-dims-as-
+            # spatial-dims path, measured at 19 effective TFLOPS for the
+            # 64x64 module (25.9 ms/call, ~130 ms/step across the five
+            # c=320 modules). The four explicit transposes below cost
+            # ~0.7 GB of HBM traffic and buy clean batched dots.
+            def bfh(t):
+                return t.reshape(b, f, lx, self.num_heads, dh).transpose(
+                    0, 2, 3, 1, 4).reshape(b * lx * self.num_heads, f, dh)
+
+            qt, kt, vt = bfh(qx), bfh(kx), bfh(vx)
+            logits = jax.lax.dot_general(
+                qt, kt, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * (dh**-0.5)  # [B', f, f]
+            probs = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+            out = jax.lax.dot_general(
+                probs, vt, (((2,), (1,)), ((0,), (0,))),
+            )  # [B', f, dh]
+            out = out.reshape(b, lx, self.num_heads, f, dh).transpose(
+                0, 3, 1, 2, 4).reshape(bf, lx, d)
             return proj(out, wo) + bo.astype(dt)
 
         # Ulysses-style reshard under a frame-parallel mesh: the attention
