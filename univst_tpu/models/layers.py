@@ -285,20 +285,31 @@ class TemporalSelfAttention(nn.Module):
         b = bf // num_frames
         f = num_frames
         dh = d // self.num_heads
-        # projections on the [B*F, L, D] layout (no physical transpose);
-        # the frame-axis attention runs as a (b, l, h)-batched einsum
+        # projections on the [B*F, L, D] layout, then CANONICAL batched
+        # matmuls on [b*l*h, f, dh]: the earlier (b, l, h)-batched einsum on
+        # the native layout lowered on TPU as `convolution-base-dilated`
+        # ops — XLA's batch-dims-as-spatial path, measured at 19 effective
+        # TFLOPS on the AnimateDiff motion module's identical pattern
+        # (models/unet_ad.py TemporalSelfAttentionPE, BENCH_NOTES round 5).
+        # This path is inert for random-weight benches (identity-elision),
+        # but runs with real temporal weights — same fix applied here.
         q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        qh = q.reshape(b, f, l, self.num_heads, dh)
-        kh = k.reshape(b, f, l, self.num_heads, dh)
-        vh = v.reshape(b, f, l, self.num_heads, dh)
-        logits = jnp.einsum(
-            "bflhd,bglhd->blhfg", qh, kh, preferred_element_type=jnp.float32
+
+        def bfh(t):
+            return t.reshape(b, f, l, self.num_heads, dh).transpose(
+                0, 2, 3, 1, 4).reshape(b * l * self.num_heads, f, dh)
+
+        qt, kt, vt = bfh(q), bfh(k), bfh(v)
+        logits = jax.lax.dot_general(
+            qt, kt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         ) * (dh**-0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        out = jnp.einsum("blhfg,bglhd->bflhd", probs, vh)
-        out = out.reshape(bf, l, d)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        out = jax.lax.dot_general(probs, vt, (((2,), (1,)), ((0,), (0,))))
+        out = out.reshape(b, l, self.num_heads, f, dh).transpose(
+            0, 3, 1, 2, 4).reshape(bf, l, d)
         return nn.Dense(
             d, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out"
         )(out)
