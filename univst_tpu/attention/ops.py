@@ -360,14 +360,16 @@ def video_mha(q, k, v, num_heads: int, num_frames: int,
             split(q).astype(dt), split(k).astype(dt), split(v).astype(dt),
             tuple(frame_indices),
             sm_scale=float(dh**-0.5 if scale is None else scale),
-            # narrow_qk measured at the production SD/AD shapes (dh=40,
-            # L=4096, b16/b32, 2- and 3-src; scripts/bench_sd_narrow_qk.py
-            # on v5e): 4.5-6.1% faster per call, exact (interpret-mode
-            # kernel tests cover dh=40 narrow). Unmeasured dims (dh=80 at
-            # the 32x32 level, dh=160 at >=1024px) stay under the
+            # narrow_qk measured at the production SD/AD shapes (v5e):
+            # dh=40/L=4096 b16/b32 2- and 3-src: 4.5-6.1% faster per call
+            # (scripts/bench_sd_narrow_qk.py); dh=80/L=1024 (the 32x32
+            # level): 0.63 vs 0.76 ms (b1 2-src), 0.99 vs 1.26 (3-src),
+            # equal at b2 — never slower (round-5 probe). Exact
+            # (interpret-mode kernel tests cover dh 40/64/80 narrow).
+            # Unmeasured dims (dh=160 at >=1024px) stay under the
             # UNIVST_NARROW_QK env opt-in (None), and the kernel itself
             # refuses narrow layouts Mosaic can't tile (>128, non-128-mult).
-            block_q=blk, block_k=blk, narrow_qk=True if dh <= 64 else None,
+            block_q=blk, block_k=blk, narrow_qk=True if dh <= 80 else None,
         ).astype(q.dtype)
         return out.transpose(0, 1, 3, 2, 4).reshape(bf, l, d)
     if frame_indices:
